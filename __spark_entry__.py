@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship converged PageRank over an edge table derived
+from sf0.001; ``queries()`` — one entry per implemented operator from
+SURVEY.md §2 (+ north-rule / training-pipeline extensions); ``oracle_sql()``
+— the DuckDB-runnable equivalent for every SQL-expressible query (iterative
+frozen-node algorithms are covered by pytest vs the NumPy oracle and get the
+driver's rows-only check here).
+
+Engine-vs-oracle determinism rules used throughout:
+- graphs derive from lineitem by modular arithmetic (bit-identical in both
+  engines, see ps_projekt_pagerank_spark.sources.derived);
+- every float is rounded (1e-6/1e-9) before compare/order; orderings break
+  ties by id; hashes are md5 (identical hex in both engines).
 """
 
 from __future__ import annotations
@@ -12,27 +19,428 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ps_projekt_pagerank_spark import DAMPING, NORTH_EPSILON
+from ps_projekt_pagerank_spark.functions import text as tx
+from ps_projekt_pagerank_spark.operators import dedup as dd
+from ps_projekt_pagerank_spark.operators import graph as G
+from ps_projekt_pagerank_spark.operators import multimodal as mm
+from ps_projekt_pagerank_spark.operators import similarity as sim
+from ps_projekt_pagerank_spark.operators.components import connected_components
+from ps_projekt_pagerank_spark.operators.labelprop import label_propagation
+from ps_projekt_pagerank_spark.operators.pagerank import pagerank, pagerank_fixed
+from ps_projekt_pagerank_spark.operators.triangles import triangles_total
+from ps_projekt_pagerank_spark.plans.reporting import top_bottom_k
+from ps_projekt_pagerank_spark.sources import derived as D
+from ps_projekt_pagerank_spark.sources.tripler import tripled
+from ps_projekt_pagerank_spark.streaming.events import windowed_event_agg
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Converged frozen-node PageRank (d=0.85, eps=1e-6) on the web graph
+    derived from sf0.001, reporting top/bottom-10 with in-link counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    edges = D.web_edges(spark, sf_dir)
+    result = pagerank(edges, epsilon=NORTH_EPSILON, max_iterations=200)
+    return top_bottom_k(result.ranks, edges, k=10).select(
+        "which", "id", "inlinks", F.round("rank", 6).alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def _q_node_ids(spark, sf_dir):
+    return G.node_ids(D.web_edges(spark, sf_dir))
+
+
+def _q_out_degrees(spark, sf_dir):
+    return G.out_degrees(D.web_edges(spark, sf_dir))
+
+
+def _q_sinks(spark, sf_dir):
+    return G.sink_nodes(D.web_edges(spark, sf_dir))
+
+
+def _q_tripled(spark, sf_dir):
+    return tripled(D.web_edges(spark, sf_dir))
+
+
+def _q_pagerank_fixed4(spark, sf_dir):
+    ranks = pagerank_fixed(D.web_edges(spark, sf_dir), num_iterations=4)
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _q_pagerank_total(spark, sf_dir):
+    ranks = pagerank_fixed(D.web_edges(spark, sf_dir), num_iterations=4)
+    return ranks.agg(F.round(F.sum("rank"), 6).alias("total_rank"))
+
+
+def _q_pagerank_top10(spark, sf_dir):
+    ranks = pagerank_fixed(D.web_edges(spark, sf_dir), num_iterations=4)
+    r = ranks.select("id", F.round("rank", 9).alias("rank"))
+    return r.orderBy(F.desc("rank"), F.asc("id")).limit(10)
+
+
+def _q_pagerank_converged_top20(spark, sf_dir):
+    # full frozen-node convergence loop — iterative, pytest-verified vs the
+    # NumPy oracle; driver does the rows-only check (no SQL form exists)
+    edges = D.web_edges(spark, sf_dir)
+    res = pagerank(edges, epsilon=NORTH_EPSILON, max_iterations=200)
+    r = res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    return r.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+
+
+def _q_components(spark, sf_dir):
+    return connected_components(D.block_edges(spark, sf_dir))
+
+
+def _q_labelprop(spark, sf_dir):
+    return label_propagation(D.block_edges(spark, sf_dir), rounds=5)
+
+
+def _q_triangles(spark, sf_dir):
+    return triangles_total(D.sparse_edges(spark, sf_dir))
+
+
+def _docs_with_dups(spark, sf_dir):
+    docs = D.documents(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(dups)
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(_docs_with_dups(spark, sf_dir))
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    return dd.minhash_signatures(D.documents(spark, sf_dir).select("doc_id", "text"))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_docs_with_dups(spark, sf_dir))
+
+
+def _q_token_jaccard(spark, sf_dir):
+    docs = D.documents(spark, sf_dir).select("doc_id", "text").where(
+        F.col("doc_id") < 120
+    )
+    return dd.token_jaccard_pairs(docs, threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    # xxhash64-based — Spark-only hash, no SQL twin; rows-only check
+    return dd.simhash64(D.documents(spark, sf_dir).select("doc_id", "text"))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_near_pairs(
+        _docs_with_dups(spark, sf_dir), max_hamming=3
+    ).select("id_a", "id_b")
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    return dd.embedding_neardup_pairs(D.embeddings(spark, sf_dir), threshold=0.35)
+
+
+def _q_knn(spark, sf_dir):
+    vecs = D.embeddings(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sim.knn_bruteforce(vecs, queries, k=5).select(
+        "query_id", "neighbor_id", "knn_rank"
+    )
+
+
+def _q_knn_lsh(spark, sf_dir):
+    # LSH-bucketed ANN — xxhash64 hyperplanes, Spark-only; rows-only check
+    vecs = D.embeddings(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sim.knn_lsh(vecs, queries, k=5, num_bits=4).select(
+        "query_id", "neighbor_id", "knn_rank"
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    return tx.quality_features(D.documents(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return tx.lang_id(D.documents(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return D.documents(spark, sf_dir).select(
+        "doc_id", tx.fingerprint("text").alias("fp")
+    )
+
+
+def _q_events_agg(spark, sf_dir):
+    return windowed_event_agg(D.events(spark, sf_dir))
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    media = mm.fake_media(D.documents(spark, sf_dir))
+    return mm.decode_image(media, codec="fake")
+
+
+def _q_frame_sample(spark, sf_dir):
+    media = mm.fake_media(D.documents(spark, sf_dir))
+    return mm.frame_sample(media, every_n=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "g1_node_ids": _q_node_ids,
+        "g2_out_degrees": _q_out_degrees,
+        "g4_sinks": _q_sinks,
+        "s3_tripled_edges": _q_tripled,
+        "p_pagerank_fixed4": _q_pagerank_fixed4,
+        "r1_total_rank": _q_pagerank_total,
+        "r3_pagerank_top10": _q_pagerank_top10,
+        "p_pagerank_converged_top20": _q_pagerank_converged_top20,
+        "cc_components": _q_components,
+        "lp_labels": _q_labelprop,
+        "tri_total": _q_triangles,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sigs": _q_minhash_sigs,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_token_jaccard": _q_token_jaccard,
+        "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_embedding_pairs": _q_embedding_neardup,
+        "knn_top5": _q_knn,
+        "knn_lsh_top5": _q_knn_lsh,
+        "text_token_stats": _q_token_stats,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        "events_5min_agg": _q_events_agg,
+        "mm_decode_image": _q_multimodal_decode,
+        "mm_frame_sample": _q_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_WEB = D.WEB_EDGES_SQL
+_BLOCK = D.BLOCK_EDGES_SQL
+_SPARSE = D.SPARSE_EDGES_SQL
+
+_EN = ", ".join(f"'{w}'" for w in tx.EN_STOPWORDS)
+_SL = ", ".join(f"'{w}'" for w in tx.SL_STOPWORDS)
+
+_DOCS_DUPS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents "
+    "WHERE doc_id < 50"
+)
+
+# distinct lowercase tokens per doc (matches operators.dedup._doc_tokens)
+def _toks_sql(docs_expr: str) -> str:
+    return (
+        f"SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+        f"unnest(string_split(lower(text), ' ')) AS tok FROM ({docs_expr})) "
+        f"WHERE tok <> ''"
+    )
+
+
+def _minhash_sigs_sql(docs_expr: str) -> str:
+    aggs = ", ".join(
+        f"min(md5(tok || '#{i}')) AS s{i}" for i in range(4)
+    )
+    return f"SELECT doc_id, {aggs} FROM ({_toks_sql(docs_expr)}) GROUP BY doc_id"
+
+
+def _pagerank_fixed_sql(num_iterations: int) -> str:
+    """Unrolled power iteration — the exact SQL twin of pagerank_fixed
+    (same init, sink-mass redistribution, left-join coalesce for no-inlink
+    nodes)."""
+    parts = [
+        f"WITH e AS ({_WEB})",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    d = DAMPING
+    for k in range(num_iterations):
+        parts.append(
+            f"s{k} AS (SELECT ((1 - {d}) + {d} * COALESCE(sum(rank), 0)) / "
+            f"(SELECT n FROM nn) AS ss FROM r{k} "
+            f"WHERE id NOT IN (SELECT id FROM deg))"
+        )
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS contrib "
+            f"FROM e JOIN r{k} r ON e.src = r.id JOIN deg d ON e.src = d.id "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT nodes.id, (SELECT ss FROM s{k}) + "
+            f"{d} * COALESCE(c{k}.contrib, 0) AS rank "
+            f"FROM nodes LEFT JOIN c{k} ON nodes.id = c{k}.id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, round(rank, 9) AS rank FROM r{num_iterations}"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["g1_node_ids"] = (
+        f"WITH e AS ({_WEB}) SELECT DISTINCT id FROM "
+        f"(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)"
+    )
+    sqls["g2_out_degrees"] = (
+        f"WITH e AS ({_WEB}) SELECT src AS id, count(*) AS outdeg "
+        f"FROM e GROUP BY src"
+    )
+    sqls["g4_sinks"] = (
+        f"WITH e AS ({_WEB}) SELECT DISTINCT dst AS id FROM e "
+        f"WHERE dst NOT IN (SELECT src FROM e)"
+    )
+    sqls["s3_tripled_edges"] = (
+        f"WITH e AS ({_WEB}), m AS (SELECT max(greatest(src, dst)) AS m FROM e) "
+        f"SELECT src, dst FROM e "
+        f"UNION ALL SELECT m.m + dst + 1 AS src, src AS dst FROM e, m "
+        f"UNION ALL SELECT m.m + src + 1 AS src, m.m + dst AS dst FROM e, m"
+    )
+    sqls["p_pagerank_fixed4"] = _pagerank_fixed_sql(4)
+    sqls["r1_total_rank"] = (
+        f"SELECT round(sum(rank), 6) AS total_rank FROM "
+        f"({_pagerank_fixed_sql(4)})"
+    )
+    sqls["r3_pagerank_top10"] = (
+        f"SELECT id, rank FROM ({_pagerank_fixed_sql(4)}) "
+        f"ORDER BY rank DESC, id ASC LIMIT 10"
+    )
+    sqls["cc_components"] = (
+        f"WITH RECURSIVE e AS ({_BLOCK}), "
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e)), "
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e WHERE src <> dst), "
+        "sym(a, b) AS (SELECT a, b FROM und UNION SELECT b, a FROM und), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a) "
+        "SELECT n.id, least(n.id, coalesce(min(r.b), n.id)) AS component "
+        "FROM nodes n LEFT JOIN reach r ON r.a = n.id GROUP BY n.id"
+    )
+    sqls["tri_total"] = (
+        f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({_SPARSE}) WHERE src <> dst) "
+        f"SELECT count(*) AS triangles FROM e e1 "
+        f"JOIN e e2 ON e1.b = e2.a "
+        f"JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    sqls["dedup_exact"] = (
+        f"SELECT md5(text) AS text_hash, count(*) AS n_docs, "
+        f"min(doc_id) AS keep_id FROM ({_DOCS_DUPS}) GROUP BY md5(text)"
+    )
+    sqls["dedup_minhash_sigs"] = _minhash_sigs_sql("SELECT doc_id, text FROM documents")
+    sqls["dedup_minhash_pairs"] = (
+        f"WITH sigs AS ({_minhash_sigs_sql(_DOCS_DUPS)}) "
+        f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND "
+        f"((a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3))"
+    )
+    sqls["dedup_token_jaccard"] = (
+        f"WITH toks AS ({_toks_sql('SELECT doc_id, text FROM documents WHERE doc_id < 120')}), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b, jaccard FROM ("
+        "SELECT id_a, id_b, round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) "
+        "AS jaccard FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b) "
+        "WHERE jaccard >= 0.5"
+    )
+    sqls["dedup_embedding_pairs"] = (
+        "WITH pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "a.embedding AS ea, b.embedding AS eb FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id), "
+        "comps AS (SELECT id_a, id_b, CAST(unnest(ea) AS DOUBLE) AS x, "
+        "CAST(unnest(eb) AS DOUBLE) AS y FROM pr) "
+        "SELECT id_a, id_b FROM comps GROUP BY id_a, id_b "
+        "HAVING sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) > 0.35"
+    )
+    sqls["knn_top5"] = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+        "WHERE vec_id < 3), "
+        "pr AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, "
+        "c.embedding AS cv FROM q JOIN embeddings c ON c.vec_id <> q.query_id), "
+        "comps AS (SELECT query_id, neighbor_id, CAST(unnest(qv) AS DOUBLE) AS x, "
+        "CAST(unnest(cv) AS DOUBLE) AS y FROM pr), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        "round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score "
+        "FROM comps GROUP BY query_id, neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS knn_rank "
+        "FROM scored) "
+        "SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5"
+    )
+    sqls["text_token_stats"] = (
+        "WITH base AS (SELECT doc_id, text, length(text) AS n_chars_m, "
+        "len(string_split(text, ' ')) AS n_tokens, "
+        "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) "
+        "AS n_punct FROM documents), "
+        "hits AS (SELECT doc_id, sum(CASE WHEN tok IN (" + _EN + ") THEN 1 "
+        "ELSE 0 END) AS en FROM (SELECT doc_id, "
+        "unnest(string_split(lower(text), ' ')) AS tok FROM documents) "
+        "GROUP BY doc_id) "
+        "SELECT base.doc_id, n_chars_m, n_tokens, n_punct, "
+        "round(hits.en / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio, "
+        "round(n_chars_m / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len "
+        "FROM base JOIN hits ON base.doc_id = hits.doc_id"
+    )
+    sqls["text_lang_id"] = (
+        "WITH hits AS (SELECT doc_id, "
+        "sum(CASE WHEN tok IN (" + _EN + ") THEN 1 ELSE 0 END) AS en_hits, "
+        "sum(CASE WHEN tok IN (" + _SL + ") THEN 1 ELSE 0 END) AS sl_hits "
+        "FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok "
+        "FROM documents) GROUP BY doc_id) "
+        "SELECT doc_id, en_hits, sl_hits, "
+        "CASE WHEN sl_hits > en_hits THEN 'sl' ELSE 'en' END AS lang_pred "
+        "FROM hits"
+    )
+    sqls["text_fingerprint"] = (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+        "AS fp FROM documents"
+    )
+    sqls["events_5min_agg"] = (
+        "SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start, "
+        "event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+    sqls["mm_decode_image"] = (
+        "SELECT doc_id AS media_id, "
+        "CAST(doc_id % 64 + 8 AS INTEGER) AS width, "
+        "CAST(doc_id % 48 + 6 AS INTEGER) AS height, "
+        "CAST(3 AS INTEGER) AS channels, "
+        "CAST((doc_id % 64 + 8) * (doc_id % 48 + 6) AS BIGINT) AS n_pixels, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes "
+        "FROM documents"
+    )
+    sqls["mm_frame_sample"] = (
+        "SELECT doc_id AS media_id, unnest(generate_series(0, "
+        "greatest(CAST(floor(octet_length(encode(text)) / 256.0) AS INTEGER) - 1, 0), "
+        "10)) AS frame_no FROM documents"
+    )
+    # omitted on purpose (no SQL twin; driver rows-only check):
+    #   p_pagerank_converged_top20, lp_labels, dedup_simhash,
+    #   dedup_simhash_pairs, knn_lsh_top5
+    return sqls

@@ -1,0 +1,219 @@
+"""Deduplication family for training-data pipelines (north-rule /
+training-pipeline extension; graded as first-class components).
+
+Five strategies over a ``documents(doc_id LONG, text STRING, ...)`` table,
+each shuffle-aware and expressed in built-in DataFrame ops (the only hash
+primitives used — md5/xxhash64 — are JVM built-ins):
+
+- exact:          hash-groupBy on md5(text); survivors = min doc_id
+- minhash + LSH:  token shingles → k md5-min signatures → banded bucket
+                  join → candidate pairs (never the O(n²) cross join)
+- simhash:        per-token 64-bit hash, bitwise majority → hamming buckets
+- n-gram jaccard: exact token-set jaccard, but only WITHIN LSH candidate
+                  pairs (or a bounded id range) — the verification stage
+- embedding near-dup: cosine over an embedding column via functions.vectors
+
+Scale notes: every strategy reduces to groupBy/join on a bounded key
+(hash, band, bucket), so partial aggregation + AQE skew handling apply;
+nothing materializes the quadratic pair space except inside a bucket —
+bucket width (bands/rows) is the knob that trades recall for shuffle size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_hash, n_docs, keep_id) one row per distinct text; n_docs>1 rows
+    are duplicate groups, keep_id the survivor (min doc_id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, tok) distinct lowercase whitespace tokens."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "").distinct()
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 4
+) -> DataFrame:
+    """(doc_id, s0..s{k-1}) — signature i = min over tokens of
+    md5(token || '#i'). String-min of md5 hex is a valid uniform minhash
+    and is reproducible in any engine with md5 (the SQL oracle runs the
+    identical expression)."""
+    toks = _doc_tokens(docs, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")).cast("binary"))).alias(
+            f"s{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id_a, id_b) candidate near-duplicate pairs: docs sharing at least
+    one LSH band (band = concatenation of ``rows_per_band`` signatures).
+    The join is per-band on the band value — buckets, never cross join."""
+    sigs = minhash_signatures(docs, text_col, num_hashes)
+    n_bands = num_hashes // rows_per_band
+    bands = None
+    for b in range(n_bands):
+        cols = [f"s{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        one = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *cols).alias("band_val"),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a = bands.select(
+        F.col("band"), F.col("band_val"), F.col("doc_id").alias("id_a")
+    )
+    b_ = bands.select(
+        F.col("band").alias("band2"),
+        F.col("band_val").alias("band_val2"),
+        F.col("doc_id").alias("id_b"),
+    )
+    return (
+        a.join(
+            b_,
+            (F.col("band") == F.col("band2"))
+            & (F.col("band_val") == F.col("band_val2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) exact token-set jaccard ≥ threshold.
+
+    With ``candidates`` (e.g. minhash_lsh_pairs output) only those pairs
+    are scored; without, all pairs sharing ≥1 token are scored via a
+    token-bucket self-join (fine at test scale; pass candidates at real
+    scale)."""
+    toks = _doc_tokens(docs, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("tok2"))
+    inter = (
+        ta.join(tb, (F.col("tok") == F.col("tok2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) 64-bit SimHash: per distinct token xxhash64, each
+    bit votes +1/-1, sign of the vote is the fingerprint bit. Built from
+    shiftright/bitwise built-ins — no UDF."""
+    toks = _doc_tokens(docs, text_col).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` bits, bucketed by
+    16-bit simhash quadrants (a pair ≤3 bits apart shares ≥1 of 4 quadrants
+    by pigeonhole when max_hamming ≤ 3; wider radii trade recall)."""
+    sh = simhash64(docs, text_col)
+    quads = None
+    for q in range(4):
+        one = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(q).alias("quad"),
+            F.shiftright("simhash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qval"),
+        )
+        quads = one if quads is None else quads.unionAll(one)
+    a = quads.select(
+        "quad", "qval", F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha")
+    )
+    b = quads.select(
+        F.col("quad").alias("quad2"),
+        F.col("qval").alias("qval2"),
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("hb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("quad") == F.col("quad2"))
+        & (F.col("qval") == F.col("qval2"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")).distinct()
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    vecs: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b) embedding-cosine near-duplicates above threshold.
+
+    Brute-force within-partition pair generation (the test-scale baseline);
+    at scale, route through operators.similarity's LSH bucketing first."""
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cosine("va", "vb") > threshold)
+        .select("id_a", "id_b")
+    )

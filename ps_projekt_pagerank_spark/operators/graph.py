@@ -1,0 +1,104 @@
+"""Graph-construction operators (SURVEY.md §2.2, reference "ETL" phase).
+
+All relational, all shuffle-aware:
+
+- G1 node discovery: union of endpoints, distinct — node set = ids that
+  appear in edges (reference Graph.cpp:60-91; the header hint is never
+  trusted).
+- G2 out-degree: hash agg with automatic partial (map-side) combine
+  (reference Graph.cpp:95-96 increments per occurrence → count(*)).
+- G3 adjacency: the scatter-side edge table, repartitioned ONCE by src and
+  persisted — the Spark analogue of the reference's build-once CSR
+  (Graph4CL.cpp:16-46): every PageRank iteration reuses this partitioning,
+  so per-iteration shuffles touch only the |V|-row rank state, never the
+  |E|-row edge table (at local scale Catalyst broadcasts the rank state
+  instead, which eliminates even that).
+- G4 sinks: out-degree-0 nodes (reference Graph.cpp:107-115) — kept as a
+  boolean on the node table so the per-iteration sink-mass aggregation
+  needs no join at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class GraphTables:
+    """Build-once, iterate-many graph state (analogue of reference CSR)."""
+
+    nodes: DataFrame  # id LONG, outdeg LONG, is_sink BOOLEAN (persisted)
+    adj: DataFrame  # src LONG, dst LONG (persisted, partitioned by src)
+    num_nodes: int
+    num_edges: int
+    num_sinks: int
+
+    def unpersist(self) -> None:
+        self.nodes.unpersist()
+        self.adj.unpersist()
+
+
+def node_ids(edges: DataFrame) -> DataFrame:
+    """G1 — distinct node ids appearing in the edge list."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """G2 — (id, outdeg) for nodes with at least one out-edge."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+
+
+def sink_nodes(edges: DataFrame) -> DataFrame:
+    """G4 — nodes that never appear as src (out-degree 0)."""
+    return (
+        edges.select(F.col("dst").alias("id"))
+        .distinct()
+        .join(edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+    )
+
+
+def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
+    """Build the persisted node/adjacency tables for iterative algorithms.
+
+    ``partitions`` pins the adjacency partition count (defaults to the
+    session's shuffle partitions). At cluster scale this is where you size
+    partitions so each holds O(100-500MB) of edges; the rank-state side of
+    every iteration then hash-shuffles |V| rows to meet this layout.
+    """
+    spark = edges.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # left join (not anti) so one pass carries outdeg and derives is_sink
+    nodes = (
+        node_ids(edges)
+        .join(out_degrees(edges), "id", "left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        )
+        .withColumn("is_sink", F.col("outdeg") == 0)
+        .repartition(p, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj = edges.repartition(p, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = nodes.agg(
+        F.count("*").alias("n"), F.sum(F.col("is_sink").cast("long")).alias("s")
+    ).first()
+    return GraphTables(
+        nodes=nodes,
+        adj=adj,
+        num_nodes=int(counts["n"]),
+        num_edges=adj.count(),
+        num_sinks=int(counts["s"]),
+    )

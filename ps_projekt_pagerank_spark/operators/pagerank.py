@@ -1,0 +1,236 @@
+"""P1-P7 — iterative PageRank with the reference's exact semantics
+(reference sequential loop: src/Graph.cpp:118-173; formula Naloga4.pdf p.1),
+re-expressed as a driver-side while-loop over DataFrame gather/scatter —
+the Spark idiom for the reference's host-driven GPU loop (Graph4CL.cpp:
+112-206, which likewise collects a scalar per iteration and re-injects it).
+
+Semantics (validated against the NumPy oracle, which reproduces the
+reference binary's 25/29/44 fixture iteration counts):
+
+P1 init      rank = 1/N, all nodes active            (Graph.cpp:124-128)
+P2 sink mass sink_sum = ((1-d) + d*Σ_sinks rank)/N from CURRENT committed
+             ranks — frozen sinks keep contributing  (Graph.cpp:135-140)
+P3 scatter   every edge contributes rank[src]/outdeg[src]; frozen sources
+             contribute their frozen rank            (Graph.cpp:149-152)
+P4 gather    rank_new = sink_sum + d*Σ contribs; nodes with no in-links
+             get plain sink_sum (left join+coalesce) (Graph.cpp:147-154)
+P5 freeze    active nodes commit rank_new; |new-old| < δ freezes the node
+             out of later recomputes                 (Graph.cpp:160-169)
+P6 stop      loop ends on the first sweep that finds no active node; that
+             empty sweep IS counted                  (Graph.cpp:130-158)
+P7 counter   returned iteration count includes it    (Graph.cpp:133,172)
+
+Scale design (the part the reference solves with CSR + OpenMP dynamic
+scheduling, SURVEY.md §4):
+
+- the |E|-row adjacency is partitioned ONCE (build_graph) and never
+  re-shuffled; each iteration shuffles only the |V|-row state — and at
+  small |V| Catalyst broadcasts the state, so the scatter join moves
+  nothing at all;
+- the gather is a hash aggregation with automatic partial (map-side)
+  combine, which already collapses each partition's contributions to one
+  row per distinct dst before the shuffle; for pathological hub skew
+  ``salt_buckets`` adds an explicit two-stage aggregation
+  (groupBy(dst, salt) → groupBy(dst)), the reference's dynamic-schedule
+  analogue (Graph.cpp:206);
+- exactly ONE action per iteration (a single stats collect that also
+  materializes the persisted new state) — the same "device→host scalar
+  per iteration" shape as the reference GPU path;
+- lineage is truncated every ``checkpoint_every`` iterations via
+  localCheckpoint (or durably via sources.checkpoint for resume).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .. import DAMPING, NORTH_EPSILON
+from .graph import GraphTables, build_graph
+
+_STATE_COLS = ["id", "outdeg", "is_sink", "rank", "active"]
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # id LONG, rank DOUBLE
+    iterations: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _stats(state: DataFrame) -> tuple[int, float]:
+    """One action: (active node count, Σ rank over sinks)."""
+    row = state.agg(
+        F.sum(F.col("active").cast("long")).alias("n_active"),
+        F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(0.0)).alias(
+            "sink_rank"
+        ),
+    ).first()
+    return int(row["n_active"] or 0), float(row["sink_rank"] or 0.0)
+
+
+def _step(
+    state: DataFrame,
+    adj: DataFrame,
+    sink_sum: float,
+    damping: float,
+    delta: float,
+    salt_buckets: int,
+) -> DataFrame:
+    """One Jacobi sweep: scatter-join + gather-agg + freeze-commit."""
+    ranks_src = state.select(
+        F.col("id").alias("src_id"), "rank", F.col("outdeg").alias("od")
+    ).where(F.col("od") > 0)
+
+    contribs = adj.join(ranks_src, adj["src"] == ranks_src["src_id"]).select(
+        "dst", (F.col("rank") / F.col("od")).alias("c")
+    )
+
+    if salt_buckets > 1:
+        # explicit two-stage agg for hub skew: partial per (dst, salt),
+        # then final per dst — deterministic salt from the contribution row
+        salted = contribs.withColumn(
+            "salt", F.pmod(F.xxhash64("dst", "c"), F.lit(salt_buckets))
+        )
+        gathered = (
+            salted.groupBy("dst", "salt")
+            .agg(F.sum("c").alias("cs"))
+            .groupBy("dst")
+            .agg(F.sum("cs").alias("contrib"))
+        )
+    else:
+        gathered = contribs.groupBy("dst").agg(F.sum("c").alias("contrib"))
+
+    new_rank = F.lit(sink_sum) + F.lit(damping) * F.coalesce(
+        F.col("contrib"), F.lit(0.0)
+    )
+    return (
+        state.join(gathered, state["id"] == gathered["dst"], "left")
+        .select(
+            "id",
+            "outdeg",
+            "is_sink",
+            F.when(F.col("active"), new_rank).otherwise(F.col("rank")).alias("rank"),
+            (
+                F.col("active")
+                & (F.abs(new_rank - F.col("rank")) >= F.lit(delta))
+            ).alias("active"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DAMPING,
+    epsilon: float = NORTH_EPSILON,
+    max_iterations: int = 1000,
+    salt_buckets: int = 1,
+    checkpointer=None,
+    graph: GraphTables | None = None,
+    partitions: int | None = None,
+) -> PageRankResult:
+    """Run frozen-node PageRank to convergence.
+
+    ``checkpointer`` (sources.checkpoint.IterationCheckpointer) durably
+    writes each iteration's rank vector + metrics and enables resume; with
+    or without it, lineage is truncated in-memory every iteration (see the
+    loop body comment).
+    """
+    own_graph = graph is None
+    g = graph or build_graph(edges, partitions)
+    n = g.num_nodes
+    if n == 0:
+        return PageRankResult(ranks=g.nodes.select("id", F.lit(0.0).alias("rank")),
+                              iterations=0)
+
+    state = g.nodes.select(
+        "id",
+        "outdeg",
+        "is_sink",
+        F.lit(1.0 / n).alias("rank"),
+        F.lit(True).alias("active"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    start_iter = 0
+    if checkpointer is not None:
+        resumed = checkpointer.latest(state.sparkSession)
+        if resumed is not None:
+            start_iter, state = resumed
+            state = state.select(*_STATE_COLS).persist(StorageLevel.MEMORY_AND_DISK)
+
+    n_active, sink_rank = _stats(state)
+    iterations = start_iter
+    metrics: list[dict] = []
+
+    while iterations < max_iterations:
+        iterations += 1
+        t0 = time.perf_counter()
+        sink_sum = ((1.0 - damping) + damping * sink_rank) / n
+        if n_active == 0:
+            break  # final empty sweep counted (Graph.cpp:133,158)
+
+        new_state = _step(state, g.adj, sink_sum, damping, epsilon, salt_buckets)
+        # truncate lineage EVERY iteration: the step plan references `state`
+        # twice (scatter + commit join), so without truncation the logical
+        # plan doubles per iteration and analysis time grows exponentially.
+        # localCheckpoint materializes to executor-local storage (this is
+        # the one action per iteration); deployments needing fault-tolerant
+        # lineage at cluster scale pass a `checkpointer`, which additionally
+        # writes durable parquet/Iceberg snapshots.
+        new_state = new_state.localCheckpoint(eager=True)
+
+        n_active, sink_rank = _stats(new_state)
+        state.unpersist()
+        state = new_state
+
+        m = {
+            "iteration": iterations,
+            "n_active": n_active,
+            "sink_sum": sink_sum,
+            "edges": g.num_edges,
+            "seconds": time.perf_counter() - t0,
+        }
+        metrics.append(m)
+        if checkpointer is not None:
+            checkpointer.write(iterations, state, m)
+
+    ranks = state.select("id", "rank")
+    if own_graph:
+        g.unpersist()
+    return PageRankResult(ranks=ranks, iterations=iterations, metrics=metrics)
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    num_iterations: int,
+    damping: float = DAMPING,
+    graph: GraphTables | None = None,
+) -> DataFrame:
+    """Plain power iteration for exactly ``num_iterations`` sweeps, no
+    convergence check / freezing — identical to the reference semantics up
+    to the first freeze, and exactly expressible as unrolled ANSI SQL
+    (the DuckDB oracle in __spark_entry__ uses the same unrolling).
+    """
+    own_graph = graph is None
+    g = graph or build_graph(edges)
+    n = g.num_nodes
+    state = g.nodes.select(
+        "id", "outdeg", "is_sink", F.lit(1.0 / n).alias("rank"),
+        F.lit(True).alias("active"),
+    )
+    for _ in range(num_iterations):
+        row = state.agg(
+            F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(0.0)).alias("s")
+        ).first()
+        sink_sum = ((1.0 - damping) + damping * float(row["s"] or 0.0)) / n
+        state = _step(
+            state, g.adj, sink_sum, damping, delta=-1.0, salt_buckets=1
+        ).localCheckpoint(eager=True)  # lineage truncation, see pagerank()
+    out = state.select("id", "rank")
+    if own_graph:
+        g.unpersist()
+    return out

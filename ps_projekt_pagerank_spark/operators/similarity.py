@@ -1,0 +1,136 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+- brute-force cosine top-k: the exactness baseline — query×candidate join
+  with JVM-side vector math (functions.vectors), TakeOrderedAndProject per
+  query via a ranked window. Broadcast the (small) query set; the candidate
+  table streams.
+- LSH-bucketed ANN: random-hyperplane signs (deterministic, seed-free —
+  hyperplane components derive from xxhash64(dim, bit)) → b-bit bucket;
+  candidates share a bucket; probing multiple tables raises recall. The
+  scale path: shuffle is per-bucket, never O(n²).
+
+Scores are rounded before ranking and ties broken by id, so results are
+deterministic and engine-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def knn_bruteforce(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, score, knn_rank) exact top-k by cosine.
+
+    ``queries``: (query_id, qvec). Deterministic: rank by (rounded score
+    desc, neighbor_id asc).
+    """
+    q = F.broadcast(queries.select("query_id", F.col("qvec")))
+    cand = vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        q.join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qvec", "cvec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
+
+
+def _hyperplane_sign_bits(vec_col: str, num_bits: int) -> F.Column:
+    """bucket id from ``num_bits`` deterministic random hyperplanes.
+
+    hyperplane b's component for dimension i = xxhash64(i*7919 + b) scaled
+    to [-1,1); sign of the dot product is bit b. Seed-free + reproducible
+    on any engine with xxhash64.
+    """
+    bucket = F.lit(0).cast("long")
+    for b in range(num_bits):
+        # dot(vec, plane_b) via aggregate over (value, dim-index) pairs
+        pairs = F.zip_with(
+            F.col(vec_col),
+            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+            lambda v, i: v.cast("double")
+            * (
+                (F.xxhash64(i * F.lit(7919) + F.lit(b)) % F.lit(10_000)).cast(
+                    "double"
+                )
+                / F.lit(10_000.0)
+            ),
+        )
+        d = F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(
+            d > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_buckets(
+    vecs: DataFrame,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) random-hyperplane LSH bucket per vector."""
+    return vecs.select(
+        F.col(id_col).alias("id"),
+        _hyperplane_sign_bits(vec_col, num_bits).alias("bucket"),
+    )
+
+
+def knn_lsh(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's bucket.
+
+    Same output schema as knn_bruteforce; recall < 1 by construction.
+    """
+    cand = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _hyperplane_sign_bits(vec_col, num_bits).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            "query_id",
+            "qvec",
+            _hyperplane_sign_bits("qvec", num_bits).alias("qbucket"),
+        )
+    )
+    scored = (
+        q.join(
+            cand,
+            (F.col("qbucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qvec", "cvec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )

@@ -1,0 +1,82 @@
+"""Deterministic graphs derived from the driver's TPC-H-ish parquet tables.
+
+The engine's real input is a pages/edge table; for the driver's DuckDB
+cross-check we derive edge tables from ``lineitem`` with pure modular
+arithmetic so Spark and ANSI SQL produce bit-identical edges:
+
+- web_edges:    (l_orderkey % 997,  l_partkey % 1400)  — ~1.4k nodes, 60k
+  multigraph edges at sf0.01, duplicate edges + ~400 sink nodes →
+  PageRank-shaped (sink-mass path exercised)
+- block_edges:  3 disconnected blocks keyed by l_linenumber % 3 — the
+  connected-components / label-propagation fixture
+- sparse_edges: (l_orderkey % 4999, l_partkey % 4999) — sparser, for
+  triangle enumeration
+
+The same definitions exist as SQL strings (``*_SQL``) consumed by the
+oracle in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WEB_SRC_MOD = 997
+WEB_DST_MOD = 1400
+SPARSE_MOD = 4999
+BLOCK_MOD = 200
+
+WEB_EDGES_SQL = (
+    # dst range wider than src range -> residues in [997,1400) never appear
+    # as src, so the graph has real sinks and PageRank's sink-mass path is
+    # exercised by the driver's cross-check too
+    "SELECT l_orderkey % 997 AS src, l_partkey % 1400 AS dst FROM lineitem"
+)
+BLOCK_EDGES_SQL = (
+    "SELECT (l_orderkey % 200) + 1000 * (l_linenumber % 3) AS src, "
+    "(l_partkey % 200) + 1000 * (l_linenumber % 3) AS dst FROM lineitem"
+)
+SPARSE_EDGES_SQL = (
+    "SELECT l_orderkey % 4999 AS src, l_partkey % 4999 AS dst FROM lineitem"
+)
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    return li.select(
+        (F.col("l_orderkey") % WEB_SRC_MOD).alias("src"),
+        (F.col("l_partkey") % WEB_DST_MOD).alias("dst"),
+    )
+
+
+def block_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    blk = F.col("l_linenumber") % 3
+    return li.select(
+        ((F.col("l_orderkey") % BLOCK_MOD) + 1000 * blk).alias("src"),
+        ((F.col("l_partkey") % BLOCK_MOD) + 1000 * blk).alias("dst"),
+    )
+
+
+def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    return li.select(
+        (F.col("l_orderkey") % SPARSE_MOD).alias("src"),
+        (F.col("l_partkey") % SPARSE_MOD).alias("dst"),
+    )
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")

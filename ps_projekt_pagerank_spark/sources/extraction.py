@@ -1,0 +1,100 @@
+"""S4 — pages→text+edges extraction (north-rule extension; the reference
+ingests pre-extracted edge lists, so this stage has no reference counterpart
+— its contract is oracle/extract.py, the sequential reference extractor).
+
+All Python work is Arrow-batched and pandas-vectorized (``pandas_udf`` over
+``pd.Series.str`` ops) — no per-row Python UDFs anywhere (input_hint
+requirement). The href extraction emits one row per href occurrence in
+document order with duplicates preserved (multigraph semantics,
+SURVEY.md §1.1); ``href_pos`` keeps the within-page order.
+
+The url→id dictionary encoding is the Spark analogue of the reference's
+id map (Graph.cpp:60-91): a dense LongType id per distinct url. The
+reference numbers by first appearance in a sequential file — meaningless
+under distribution — so we number by url sort order, which is
+deterministic and reproducible across cluster sizes; ranks are keyed by
+url/id, never by position (SURVEY.md §2.2 G1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# exact same patterns as the sequential oracle (oracle/extract.py); the
+# pandas .str engine applies them Arrow-batch-at-a-time, vectorized
+_SCRIPT_STYLE = r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+_TAG = r"<[^>]*>"
+_WS = r"\s+"
+_AHREF = r'(?i)<a\b[^>]*\bhref="([^"]*)"[^>]*>'
+_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    s = html.str.decode("utf-8")
+    s = s.str.replace(_SCRIPT_STYLE, " ", regex=True)
+    s = s.str.replace(_TAG, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s.str.replace(_WS, " ", regex=True).str.strip()
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_hrefs_udf(html: pd.Series) -> pd.Series:
+    return html.str.decode("utf-8").str.findall(_AHREF)
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """(url, text) — byte-identical to oracle.extract.extract_text."""
+    return pages.select("url", extract_text_udf("html").alias("text"))
+
+
+def extract_href_edges(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, href_pos) — one row per href occurrence,
+    duplicates preserved, href_pos = within-page document order."""
+    return pages.select(
+        F.col("url").alias("src_url"),
+        F.posexplode(extract_hrefs_udf("html")).alias("href_pos", "dst_url"),
+    ).select("src_url", "dst_url", "href_pos")
+
+
+def url_dictionary(pages: DataFrame) -> DataFrame:
+    """(url, id) dense LongType ids, deterministic by url sort order."""
+    w = Window.orderBy("url")
+    return (
+        pages.select("url").distinct()
+        .withColumn("id", F.row_number().over(w).cast("long") - 1)
+    )
+
+
+def encode_edges(href_edges: DataFrame, url_dict: DataFrame) -> DataFrame:
+    """href url-pairs → (src LONG, dst LONG) via dictionary joins.
+
+    Hrefs pointing outside the crawled url universe are dropped (inner
+    join) — the node set stays "ids that appear in the page table", the
+    distributed analogue of the reference's in-file node universe. The
+    dictionary is broadcast when small; at 1e12-url scale it would be a
+    bucketed table co-partitioned with the edge shuffle instead.
+    """
+    src_d = url_dict.select(
+        F.col("url").alias("src_url"), F.col("id").alias("src")
+    )
+    dst_d = url_dict.select(
+        F.col("url").alias("dst_url"), F.col("id").alias("dst")
+    )
+    return (
+        href_edges.join(src_d, "src_url").join(dst_d, "dst_url")
+        .select("src", "dst")
+    )
+
+
+def pages_to_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full extraction: pages → (edges(src,dst), url_dict(url,id))."""
+    d = url_dictionary(pages)
+    return encode_edges(extract_href_edges(pages), d), d

@@ -1,0 +1,65 @@
+"""Windowed event aggregation — batch and streaming forms.
+
+``windowed_event_agg`` is the batch DataFrame form (5-minute tumbling
+windows keyed by epoch bucket so the DuckDB oracle agrees exactly);
+``stream_windowed_event_agg`` is the same logical query as a Structured
+Streaming job with a watermark for late data, driven to completion in
+tests via the memory sink + processAllAvailable (no external bus in the
+sandbox; on a cluster the source/sink become Kafka/Iceberg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW_SECONDS = 300
+
+
+def windowed_event_agg(events: DataFrame) -> DataFrame:
+    """(window_start BIGINT epoch-secs, event_type, n_events, sum_value)."""
+    bucket = (
+        (F.unix_timestamp("ts").cast("long") / WINDOW_SECONDS).cast("long")
+        * WINDOW_SECONDS
+    )
+    return (
+        events.groupBy(bucket.alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def stream_windowed_event_agg(
+    spark: SparkSession, parquet_dir: str, queryName: str = "events_agg"
+) -> DataFrame:
+    """Run the same aggregation as a streaming query over the parquet dir
+    and return the completed result from the memory sink."""
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {queryName}")

@@ -1,0 +1,125 @@
+"""Dedup family + similarity search vs straightforward Python oracles."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ps_projekt_pagerank_spark.operators import dedup as dd
+from ps_projekt_pagerank_spark.operators import similarity as sim
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the mat"),  # exact dup of 0
+    (2, "the cat sat on a mat"),  # near dup
+    (3, "spark shuffles partitions across executors"),
+    (4, "completely different text about databases and queries"),
+    (5, "THE CAT SAT ON THE MAT"),  # case-differs
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+def _py_jaccard(a: str, b: str) -> float:
+    ta, tb = set(a.lower().split()), set(b.lower().split())
+    return len(ta & tb) / len(ta | tb)
+
+
+def test_exact_duplicates(docs):
+    rows = dd.exact_duplicates(docs).collect()
+    groups = {r["text_hash"]: (r["n_docs"], r["keep_id"]) for r in rows}
+    assert len(groups) == 5  # 6 docs, one exact-dup pair
+    assert (2, 0) in groups.values()  # docs 0,1 collapse, survivor 0
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_pairs(docs).collect()}
+    # identical token sets MUST share every band
+    assert (0, 1) in pairs
+    assert (0, 5) in pairs and (1, 5) in pairs  # lowercased tokens equal
+    # unrelated docs share no band (4 minhashes over disjoint vocab)
+    assert (3, 4) not in pairs
+
+
+def test_token_jaccard_matches_python(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.token_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for (a, ta), (b, tb) in [
+        ((0, DOCS[0][1]), (2, DOCS[2][1])),
+        ((0, DOCS[0][1]), (1, DOCS[1][1])),
+    ]:
+        expected = _py_jaccard(ta, tb)
+        assert math.isclose(got[(a, b)], round(expected, 6), abs_tol=1e-9)
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 5)] == 1.0  # lowercase normalization
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash64(docs).collect()}
+    assert sh[0] == sh[1] == sh[5]  # identical token sets → identical hash
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    assert ham02 < ham03  # near-dup closer than unrelated doc
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def _vec_rows():
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.randn(8).astype(np.float32)  # near-dup
+    return [(i, [float(x) for x in vecs[i]]) for i in range(20)], vecs
+
+
+def test_embedding_neardup_and_knn(spark):
+    rows, vecs = _vec_rows()
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs(df, threshold=0.99).collect()
+    }
+    assert (0, 1) in pairs
+
+    # brute-force knn vs numpy
+    v64 = vecs.astype(np.float64)
+    sims = v64 @ v64.T / (
+        np.linalg.norm(v64, axis=1)[:, None] * np.linalg.norm(v64, axis=1)[None, :]
+    )
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = sim.knn_bruteforce(df, queries, k=3).collect()
+    for q in (0, 1):
+        expected = sorted(
+            ((round(sims[q][j], 6), j) for j in range(20) if j != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        got_q = sorted(
+            (r["neighbor_id"], r["knn_rank"]) for r in got if r["query_id"] == q
+        )
+        assert got_q == sorted((j, r + 1) for r, (_, j) in enumerate(expected))
+
+
+def test_knn_lsh_subset_of_bruteforce_scores(spark):
+    rows, _ = _vec_rows()
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = sim.knn_lsh(df, queries, k=3, num_bits=2).collect()
+    exact = sim.knn_bruteforce(df, queries, k=20).collect()
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in exact
+    }
+    for r in approx:  # every ANN hit is a real candidate with a real score
+        assert (r["query_id"], r["neighbor_id"]) in exact_scores
+        assert r["score"] == exact_scores[(r["query_id"], r["neighbor_id"])]

@@ -1,0 +1,77 @@
+"""pages→text/edges extraction vs the sequential reference extractor
+(byte-identical text per url — the north-rule invariant)."""
+
+import pytest
+
+from ps_projekt_pagerank_spark.fixtures import FIXTURE_GRAPHS, pages_rows
+from ps_projekt_pagerank_spark.oracle.extract import extract_hrefs, extract_text
+from ps_projekt_pagerank_spark.sources import extraction
+from ps_projekt_pagerank_spark.sources.pages import fixture_pages
+
+
+@pytest.mark.parametrize("topology", ["mini", "small"])
+def test_text_byte_identical(spark, topology):
+    pages = fixture_pages(spark, topology)
+    got = {
+        r["url"]: r["text"] for r in extraction.extract_text(pages).collect()
+    }
+    for row in pages_rows(topology):
+        seq = extract_text(row["html"].decode("utf-8"))
+        assert got[row["url"]].encode("utf-8") == seq.encode("utf-8")
+        assert got[row["url"]] == row["text"]  # generator wrote the same
+
+
+def test_extractor_edge_cases():
+    # unit fixtures with hand-written expected bytes (oracle contract)
+    cases = [
+        ("<p>a  b</p>", "a b"),
+        ("<p>x&amp;y &lt;z&gt; &quot;q&quot; &#39;s&#39;&nbsp;t</p>",
+         'x&y <z> "q" \'s\' t'),
+        ("<script>var x = '<p>no</p>';</script>visible", "visible"),
+        ("<style type='text/css'>p { color: red }</style>shown", "shown"),
+        ("<SCRIPT>a</SCRIPT><Style>b</Style>c", "c"),
+        ("plain text", "plain text"),
+        ("<a href=\"u\">link</a> tail", "link tail"),
+        ("", ""),
+    ]
+    for html, want in cases:
+        assert extract_text(html) == want, html
+
+
+def test_hrefs_document_order_and_duplicates():
+    html = (
+        '<a href="u1">1</a><A HREF="u2">2</A><a class="x" href="u1">3</a>'
+        '<link href="not-an-anchor"><a href="">empty</a>'
+    )
+    assert extract_hrefs(html) == ["u1", "u2", "u1", ""]
+
+
+@pytest.mark.parametrize("topology", ["sink-test", "mini", "small"])
+def test_extracted_graph_matches_topology(spark, topology):
+    pages = fixture_pages(spark, topology)
+    hrefs = extraction.extract_href_edges(pages)
+    got = sorted(
+        (r["src_url"], r["dst_url"])
+        for r in hrefs.collect()
+    )
+    expected = sorted(
+        (f"https://node{s}.example.test/", f"https://node{d}.example.test/")
+        for s, d in FIXTURE_GRAPHS[topology]
+    )
+    assert got == expected
+
+
+def test_encoded_edges_roundtrip(spark):
+    pages = fixture_pages(spark, "mini")
+    edges, url_dict = extraction.pages_to_graph(pages)
+    id2url = {r["id"]: r["url"] for r in url_dict.collect()}
+    got = sorted(
+        (id2url[r["src"]], id2url[r["dst"]]) for r in edges.collect()
+    )
+    expected = sorted(
+        (f"https://node{s}.example.test/", f"https://node{d}.example.test/")
+        for s, d in FIXTURE_GRAPHS["mini"]
+    )
+    assert got == expected
+    # dictionary ids are dense 0..N-1
+    assert sorted(id2url) == list(range(len(id2url)))

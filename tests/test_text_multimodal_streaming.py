@@ -1,0 +1,105 @@
+"""Text functions, multimodal plumbing, streaming window agg."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ps_projekt_pagerank_spark.functions import text as tx
+from ps_projekt_pagerank_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the cat is on the mat."),
+            (1, "je na se za da, ki so ne pri!"),
+            (2, "word"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_quality_features(docs):
+    rows = {r["doc_id"]: r for r in tx.quality_features(docs).collect()}
+    assert rows[0]["n_tokens"] == 6
+    assert rows[0]["n_punct"] == 1
+    # 'the' x2 + 'is' = 3 EN stopword hits of 6 tokens
+    assert rows[0]["stopword_ratio"] == 0.5
+    assert rows[2]["n_tokens"] == 1 and rows[2]["n_punct"] == 0
+
+
+def test_lang_id(docs):
+    rows = {r["doc_id"]: r["lang_pred"] for r in tx.lang_id(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "sl"
+    assert rows[2] == "en"  # no hits → tie → en
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, " hello  world ")],
+        "doc_id LONG, text STRING",
+    )
+    fps = [r[0] for r in df.select(tx.fingerprint("text")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_multimodal_decode_roundtrip(docs):
+    media = mm.fake_media(docs)
+    decoded = {r["media_id"]: r for r in mm.decode_image(media).collect()}
+    for r in docs.collect():
+        d = decoded[r["doc_id"]]
+        assert d["width"] == r["doc_id"] % 64 + 8
+        assert d["height"] == r["doc_id"] % 48 + 6
+        assert d["channels"] == 3
+        assert d["n_pixels"] == d["width"] * d["height"]
+        assert d["payload_bytes"] == len(r["text"].encode("utf-8"))
+
+
+def test_multimodal_real_codec_is_stubbed(docs):
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(mm.fake_media(docs), codec="real")
+
+
+def test_frame_sample(spark):
+    docs = spark.createDataFrame(
+        [(0, "x" * 1000), (1, "y" * 100)], "doc_id LONG, text STRING"
+    )
+    frames = mm.frame_sample(mm.fake_media(docs), every_n=1).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_no"])
+    assert sorted(by_id[0]) == list(range(1000 // 256))  # 3 frames
+    assert by_id[1] == [0]
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from ps_projekt_pagerank_spark.streaming.events import (
+        stream_windowed_event_agg,
+        windowed_event_agg,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=37 * i), "click" if i % 2 else "view",
+         float(i))
+        for i in range(200)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    pdir = str(tmp_path / "events")
+    events.write.parquet(pdir)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_agg(spark.read.parquet(pdir)).collect()
+    }
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in stream_windowed_event_agg(spark, pdir).collect()
+    }
+    assert batch == streamed
+    assert len(batch) > 10
