@@ -187,6 +187,45 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _synthetic_pages(spark, sf_dir):
+    """pages(url, html BINARY) synthesized from `documents` — html embeds a
+    script/style head, the doc text, and two modular hrefs, so the whole S4
+    path (Arrow-UDF text + href extraction, url→id dictionary encoding) is
+    covered by the driver's DuckDB cross-check, not just pytest."""
+    docs = D.documents(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            "<html><head><script>var x = 1;</script>"
+            "<style>p { color: red }</style></head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><a href="u'),
+        (F.col("doc_id") * 7 % 500).cast("string"),
+        F.lit('">x</a> <a href="u'),
+        (F.col("doc_id") * 13 % 500).cast("string"),
+        F.lit('">y</a></body></html>'),
+    )
+    return docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        html.cast("binary").alias("html"),
+    )
+
+
+def _q_extract_text(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.extraction import extract_text
+
+    return extract_text(_synthetic_pages(spark, sf_dir))
+
+
+def _q_extract_edges(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.extraction import pages_to_graph
+
+    edges, _ = pages_to_graph(_synthetic_pages(spark, sf_dir))
+    return edges
+
+
 def _q_events_agg(spark, sf_dir):
     return windowed_event_agg(D.events(spark, sf_dir))
 
@@ -226,6 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_token_stats,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "s4_extract_text": _q_extract_text,
+        "s4_extract_edges": _q_extract_edges,
         "events_5min_agg": _q_events_agg,
         "mm_decode_image": _q_multimodal_decode,
         "mm_frame_sample": _q_frame_sample,
@@ -420,6 +461,27 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_fingerprint"] = (
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
         "AS fp FROM documents"
+    )
+    # S4 extraction twins: documents.text is verified clean (single-spaced,
+    # trimmed, [a-z0-9 ]) at all SFs, so the byte-identical extracted text
+    # has the closed form 'Doc {id} {text} x y'; edges are the two modular
+    # hrefs dictionary-encoded by url sort order (row_number-1), identical
+    # binary string collation in both engines.
+    sqls["s4_extract_text"] = (
+        "SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, "
+        "'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' x y' AS text "
+        "FROM documents"
+    )
+    sqls["s4_extract_edges"] = (
+        "WITH d AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, "
+        "row_number() OVER (ORDER BY 'u' || CAST(doc_id AS VARCHAR)) - 1 AS id "
+        "FROM documents), "
+        "hrefs AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS src_url, "
+        "'u' || CAST(doc_id * 7 % 500 AS VARCHAR) AS dst_url FROM documents "
+        "UNION ALL SELECT 'u' || CAST(doc_id AS VARCHAR), "
+        "'u' || CAST(doc_id * 13 % 500 AS VARCHAR) FROM documents) "
+        "SELECT s.id AS src, t.id AS dst FROM hrefs "
+        "JOIN d s ON s.url = hrefs.src_url JOIN d t ON t.url = hrefs.dst_url"
     )
     sqls["events_5min_agg"] = (
         "SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start, "
