@@ -110,6 +110,39 @@ def _q_triangles(spark, sf_dir):
     return triangles_total(D.sparse_edges(spark, sf_dir))
 
 
+def _q_triangles_per_node(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.triangles import triangles_per_node
+
+    return triangles_per_node(D.sparse_edges(spark, sf_dir))
+
+
+def _q_order_agreement(spark, sf_dir):
+    """R4 — positional agreement between the 3- and 4-iteration rank
+    orderings (reference main.cpp:16-33 compares backends; here the two
+    'backends' are two iteration depths — a deterministic, SQL-expressible
+    stand-in). Ordering key rounds rank to 9 decimals so Spark and DuckDB
+    sort identically despite last-ulp float differences."""
+    from pyspark.sql import Window
+
+    edges = D.web_edges(spark, sf_dir)
+
+    def positions(num_iters):
+        r = pagerank_fixed(edges, num_iters)
+        w = Window.orderBy(F.desc(F.round("rank", 9)), F.asc("id"))
+        return r.select("id", F.row_number().over(w).alias("pos"))
+
+    a = positions(3).withColumnRenamed("id", "id_a")
+    b = positions(4).withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, "pos")
+        .agg(
+            F.round(
+                F.avg((F.col("id_a") == F.col("id_b")).cast("double")), 6
+            ).alias("agreement")
+        )
+    )
+
+
 def _docs_with_dups(spark, sf_dir):
     docs = D.documents(spark, sf_dir).select("doc_id", "text")
     dups = docs.where(F.col("doc_id") < 50).select(
@@ -253,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": _q_components,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
+        "tri_per_node": _q_triangles_per_node,
+        "r4_order_agreement": _q_order_agreement,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_sigs,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -386,6 +421,28 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT count(*) AS triangles FROM e e1 "
         f"JOIN e e2 ON e1.b = e2.a "
         f"JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    sqls["tri_per_node"] = (
+        f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({_SPARSE}) WHERE src <> dst), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e1.b = e2.a "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        f"nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ({_SPARSE}) "
+        f"UNION ALL SELECT dst AS id FROM ({_SPARSE}))), "
+        "cnt AS (SELECT id, count(*) AS c FROM (SELECT x AS id FROM tri "
+        "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY id) "
+        "SELECT n.id, coalesce(cnt.c, 0) AS triangles FROM nodes n "
+        "LEFT JOIN cnt ON cnt.id = n.id"
+    )
+    sqls["r4_order_agreement"] = (
+        f"WITH ra AS ({_pagerank_fixed_sql(3)}), rb AS ({_pagerank_fixed_sql(4)}), "
+        "pa AS (SELECT id AS id_a, row_number() OVER "
+        "(ORDER BY round(rank, 9) DESC, id ASC) AS pos FROM ra), "
+        "pb AS (SELECT id AS id_b, row_number() OVER "
+        "(ORDER BY round(rank, 9) DESC, id ASC) AS pos FROM rb) "
+        "SELECT round(avg(CASE WHEN id_a = id_b THEN 1.0 ELSE 0.0 END), 6) "
+        "AS agreement FROM pa JOIN pb ON pa.pos = pb.pos"
     )
     sqls["dedup_exact"] = (
         f"SELECT md5(text) AS text_hash, count(*) AS n_docs, "
