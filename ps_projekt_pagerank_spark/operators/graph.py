@@ -32,10 +32,11 @@ class GraphTables:
     """Build-once, iterate-many graph state (analogue of reference CSR)."""
 
     nodes: DataFrame  # id LONG, outdeg LONG, is_sink BOOLEAN (persisted)
-    adj: DataFrame  # src LONG, dst LONG (persisted, partitioned by src)
+    adj: DataFrame  # src LONG, dst LONG, w LONG (persisted, hash-part. src)
     num_nodes: int
-    num_edges: int
+    num_edges: int  # multigraph edge count (sum of w)
     num_sinks: int
+    num_adj_rows: int = 0  # distinct (src,dst) pairs actually iterated
 
     def unpersist(self) -> None:
         self.nodes.unpersist()
@@ -90,15 +91,33 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
         .repartition(p, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    adj = edges.repartition(p, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # weighted adjacency: duplicate (src,dst) multigraph edges collapse to
+    # one row with a count — each duplicate contributes rank/outdeg
+    # separately in the reference (Graph.cpp:94-97), which w * rank/outdeg
+    # reproduces (tested to 1e-6; FP association noise is ~1e-16). Web
+    # graphs repeat links heavily, so this shrinks every iteration's
+    # scatter input once at build time. groupBy(src,dst) after
+    # repartition(p, src) needs no second shuffle (src-hash satisfies the
+    # (src,dst) clustering) and the result STAYS hash-partitioned by src —
+    # the layout every iteration's scatter join reuses.
+    adj = (
+        edges.repartition(p, "src")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     counts = nodes.agg(
         F.count("*").alias("n"), F.sum(F.col("is_sink").cast("long")).alias("s")
+    ).first()
+    edge_counts = adj.agg(
+        F.sum("w").alias("e"), F.count("*").alias("r")
     ).first()
     return GraphTables(
         nodes=nodes,
         adj=adj,
         num_nodes=int(counts["n"]),
-        num_edges=adj.count(),
+        num_edges=int(edge_counts["e"]),
         num_sinks=int(counts["s"]),
+        num_adj_rows=int(edge_counts["r"]),
     )

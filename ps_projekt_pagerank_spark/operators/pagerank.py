@@ -45,7 +45,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -87,7 +87,7 @@ def _step(
     ).where(F.col("od") > 0)
 
     contribs = adj.join(ranks_src, adj["src"] == ranks_src["src_id"]).select(
-        "dst", (F.col("rank") / F.col("od")).alias("c")
+        "dst", (F.col("w") * F.col("rank") / F.col("od")).alias("c")
     )
 
     if salt_buckets > 1:
@@ -177,13 +177,26 @@ def pagerank(
         # truncate lineage EVERY iteration: the step plan references `state`
         # twice (scatter + commit join), so without truncation the logical
         # plan doubles per iteration and analysis time grows exponentially.
-        # localCheckpoint materializes to executor-local storage (this is
-        # the one action per iteration); deployments needing fault-tolerant
+        # localCheckpoint materializes to executor-local storage; the
+        # observation piggybacks next iteration's scalar stats (active
+        # count + sink mass) on that SAME job, so each iteration runs
+        # exactly ONE action — the Spark analogue of the reference GPU
+        # loop's single device->host transfer per iteration
+        # (Graph4CL.cpp:166-181). Deployments needing fault-tolerant
         # lineage at cluster scale pass a `checkpointer`, which additionally
         # writes durable parquet/Iceberg snapshots.
-        new_state = new_state.localCheckpoint(eager=True)
+        obs = Observation(f"pr_iter_{iterations}")
+        new_state = new_state.observe(
+            obs,
+            F.sum(F.col("active").cast("long")).alias("n_active"),
+            F.sum(
+                F.when(F.col("is_sink"), F.col("rank")).otherwise(0.0)
+            ).alias("sink_rank"),
+        ).localCheckpoint(eager=True)
 
-        n_active, sink_rank = _stats(new_state)
+        row = obs.get
+        n_active = int(row["n_active"] or 0)
+        sink_rank = float(row["sink_rank"] or 0.0)
         state.unpersist()
         state = new_state
 

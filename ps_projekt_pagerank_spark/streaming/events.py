@@ -1,4 +1,5 @@
-"""Windowed event aggregation — batch and streaming forms.
+"""Windowed event aggregation — batch and streaming forms — plus stateful
+streaming dedup.
 
 ``windowed_event_agg`` is the batch DataFrame form (5-minute tumbling
 windows keyed by epoch bucket so the DuckDB oracle agrees exactly);
@@ -6,6 +7,9 @@ windows keyed by epoch bucket so the DuckDB oracle agrees exactly);
 Streaming job with a watermark for late data, driven to completion in
 tests via the memory sink + processAllAvailable (no external bus in the
 sandbox; on a cluster the source/sink become Kafka/Iceberg).
+``stream_dedup_first_seen`` is the stateful-streaming form of exact dedup:
+first occurrence per key wins, state bounded by the watermark horizon —
+the streaming twin of operators.dedup.exact_duplicates.
 """
 
 from __future__ import annotations
@@ -54,6 +58,35 @@ def stream_windowed_event_agg(
     )
     q = (
         agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {queryName}")
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    parquet_dir: str,
+    key_cols: list[str],
+    queryName: str = "events_dedup",
+) -> DataFrame:
+    """Streaming exact-dedup: emit only the first event per key.
+
+    ``dropDuplicates`` over a keyed stream keeps per-key state in the
+    state store; the watermark bounds that state (keys older than the
+    horizon are evicted — at web scale this is what keeps a dedup over an
+    unbounded crawl feed finite). Returns the completed memory-sink result
+    for the bounded test corpus."""
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicates(key_cols)
+    q = (
+        deduped.writeStream.outputMode("append")
         .format("memory")
         .queryName(queryName)
         .start()

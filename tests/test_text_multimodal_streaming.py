@@ -103,3 +103,27 @@ def test_streaming_matches_batch(spark, tmp_path):
     }
     assert batch == streamed
     assert len(batch) > 10
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    import datetime as dt
+
+    from ps_projekt_pagerank_spark.streaming.events import (
+        stream_dedup_first_seen,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # 120 events over 40 distinct keys -> exactly one survivor per key
+    rows = [
+        (i, base + dt.timedelta(seconds=13 * i), f"k{i % 40}", float(i))
+        for i in range(120)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    pdir = str(tmp_path / "events_dup")
+    events.write.parquet(pdir)
+
+    out = stream_dedup_first_seen(spark, pdir, ["event_type"]).collect()
+    assert len(out) == 40
+    assert sorted(r["event_type"] for r in out) == sorted(f"k{i}" for i in range(40))

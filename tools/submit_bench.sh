@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Ship the engine as a spark-submit job (north rule: "run via spark-submit
+# --py-files on a multi-executor cluster"). Locally this exercises the exact
+# packaging a cluster run uses: the package is zipped, shipped via
+# --py-files, and the driver script imports it from the shipped archive.
+#
+#   tools/submit_bench.sh                      # bench at $SPARK_GRAFT_SF_DIR
+#   MASTER=spark://host:7077 tools/submit_bench.sh --scaling
+#
+# On a real cluster set MASTER (and executor sizing via SPARK_SUBMIT_OPTS or
+# extra args after --).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ZIP=build/ps_projekt_pagerank_spark.zip
+mkdir -p build
+rm -f "$ZIP"
+(cd . && zip -qr "$ZIP" ps_projekt_pagerank_spark -x '*__pycache__*')
+
+MASTER="${MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}"
+exec spark-submit \
+  --master "$MASTER" \
+  --py-files "$ZIP" \
+  --conf spark.sql.adaptive.enabled=true \
+  bench.py "$@"
