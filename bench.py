@@ -184,11 +184,17 @@ def main_scaling():
     Each level runs SPARK_GRAFT_SCALE_REPEATS times (default 2) and the
     fastest run counts: this sandbox VM has heavy, time-varying CPU steal
     (tools/cpu_probe.py quantifies it), so min-of-repeats is the stable
-    estimator of what the engine can actually do at each parallelism."""
-    scale_k = os.environ.get("SPARK_GRAFT_TRIPLE_K", "6")
+    estimator of what the engine can actually do at each parallelism.
+
+    Default pair is local[2] vs local[8]: measured host throughput caps at
+    ~8 effective cores regardless of thread count (cpu_probe; and local[8]
+    == local[32] == ~104M edges/s/iter on the k=6 graph), so an N-vs-4N
+    comparison is only meaningful when 4N fits inside what the host can
+    actually deliver."""
+    scale_k = os.environ.get("SPARK_GRAFT_TRIPLE_K", "5")
     cores_pair = [
         int(c)
-        for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "8,32").split(",")
+        for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
     ]
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     all_runs = []

@@ -75,3 +75,34 @@ def test_encoded_edges_roundtrip(spark):
     assert got == expected
     # dictionary ids are dense 0..N-1
     assert sorted(id2url) == list(range(len(id2url)))
+
+
+def test_pages_to_pagerank_end_to_end(spark):
+    """The full north-rule slice: pages table -> Arrow href extraction ->
+    url->id dictionary encode -> frozen-node PageRank, ranks matching the
+    NumPy oracle run on the known fixture topology."""
+    import math
+
+    from ps_projekt_pagerank_spark import NORTH_EPSILON
+    from ps_projekt_pagerank_spark.fixtures import node_url
+    from ps_projekt_pagerank_spark.operators.pagerank import pagerank
+    from ps_projekt_pagerank_spark.oracle import pagerank as oracle_pagerank
+
+    pages = fixture_pages(spark, "mini")
+    edges, url_dict = extraction.pages_to_graph(pages)
+    res = pagerank(edges, epsilon=NORTH_EPSILON, max_iterations=200)
+
+    # dense id -> original fixture node id via the url dictionary
+    url_to_dense = {r["url"]: r["id"] for r in url_dict.collect()}
+    got_by_node = {}
+    dense_ranks = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    for nid in {v for e in FIXTURE_GRAPHS["mini"] for v in e}:
+        got_by_node[nid] = dense_ranks[url_to_dense[node_url(nid)]]
+
+    expected, expected_iters = oracle_pagerank(
+        FIXTURE_GRAPHS["mini"], delta=NORTH_EPSILON
+    )
+    assert res.iterations == expected_iters
+    assert set(got_by_node) == set(expected)
+    for nid, r in expected.items():
+        assert math.isclose(got_by_node[nid], r, abs_tol=1e-6)

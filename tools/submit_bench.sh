@@ -18,8 +18,11 @@ rm -f "$ZIP"
 (cd . && zip -qr "$ZIP" ps_projekt_pagerank_spark -x '*__pycache__*')
 
 MASTER="${MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}"
+# driver memory must be set HERE: once spark-submit has launched the JVM,
+# the session builder's spark.driver.memory is a no-op
 exec spark-submit \
   --master "$MASTER" \
+  --driver-memory "${SPARK_DRIVER_MEM:-64g}" \
   --py-files "$ZIP" \
   --conf spark.sql.adaptive.enabled=true \
   bench.py "$@"
