@@ -102,6 +102,14 @@ def _q_components(spark, sf_dir):
     return connected_components(D.block_edges(spark, sf_dir))
 
 
+def _q_components_star(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.components import (
+        connected_components_star,
+    )
+
+    return connected_components_star(D.block_edges(spark, sf_dir))
+
+
 def _q_labelprop(spark, sf_dir):
     return label_propagation(D.block_edges(spark, sf_dir), rounds=5)
 
@@ -284,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_pagerank_top10": _q_pagerank_top10,
         "p_pagerank_converged_top20": _q_pagerank_converged_top20,
         "cc_components": _q_components,
+        "cc_star_components": _q_components_star,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -415,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n.id, least(n.id, coalesce(min(r.b), n.id)) AS component "
         "FROM nodes n LEFT JOIN reach r ON r.a = n.id GROUP BY n.id"
     )
+    sqls["cc_star_components"] = sqls["cc_components"]
     sqls["tri_total"] = (
         f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
         f"greatest(src, dst) AS b FROM ({_SPARSE}) WHERE src <> dst) "

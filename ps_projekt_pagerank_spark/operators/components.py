@@ -13,13 +13,21 @@ label state (broadcast at small |V|).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
-    """(id LONG, component LONG) — min reachable id, undirected."""
+    """(id LONG, component LONG) — min reachable id, undirected.
+
+    Min-label propagation: one round moves the minimum one hop, so rounds
+    ≤ graph diameter. One Spark action per round — the changed-count is
+    computed in-plan (new vs old label in the commit projection) and
+    collected via an Observation on the same localCheckpoint job, exactly
+    like the PageRank loop. For diameter-unbounded web graphs prefer
+    ``connected_components_star`` (O(log n) rounds).
+    """
     sym = (
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -40,34 +48,134 @@ def connected_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         neigh_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy(F.col("src").alias("nid"))
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh_min, labels["id"] == neigh_min["nid"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
+                ).alias("new_component"),
+                F.col("component").alias("old_component"),
             )
         )
-        # truncate lineage every round — the plan references `labels` twice
-        # (propagate + commit join) and would otherwise double per round
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        obs = Observation(f"cc_round_{rnd}")
+        # lineage truncation + changed-count in ONE action
+        new_labels = (
+            stepped.observe(
+                obs,
+                F.sum(
+                    (F.col("new_component") != F.col("old_component")).cast(
+                        "long"
+                    )
+                ).alias("changed"),
+            )
+            .select("id", F.col("new_component").alias("component"))
+            .localCheckpoint(eager=True)
         )
+        changed = int(obs.get["changed"] or 0)
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """(id LONG, component LONG) — alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log n) rounds independent of graph diameter — the scale
+    path for web graphs where min-label propagation's O(diameter) rounds
+    are unbounded. Output contract identical to connected_components
+    (component id = min reachable id), verified against the same oracle.
+
+    Each round rewrites the edge set:
+    - large-star: for every neighbor v of u with v > min-neighborhood m(u)
+      (including u itself), emit (v, m(u)) — hangs big nodes under the min;
+    - small-star: for every neighbor v ≤ u, emit (v, m(u)).
+    Fixed point: a forest of depth-1 stars = (node, component) pairs.
+    """
+    # undirected simple edge set, no self-loops
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    isolated = None  # star rounds drop nothing; track nodes for final join
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    cur = e
+    for rnd in range(max_rounds):
+        # large-star: group by u over BOTH orientations; m = min(neighbors+u)
+        both = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            both.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star on the large-star output
+        both2 = large.select(
+            F.col("b").alias("u"), F.col("a").alias("v")
+        ).unionAll(large.select(F.col("a").alias("u"), F.col("b").alias("v")))
+        m2 = both2.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        small_pairs = both2.join(m2, "u").where(F.col("v") <= F.col("u"))
+        small = (
+            small_pairs.select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionAll(
+                small_pairs.select(
+                    F.col("m").alias("a"), F.col("u").alias("b")
+                )
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        obs = Observation(f"star_round_{rnd}")
+        new_cur = small.observe(
+            obs, F.count("*").alias("n")
+        ).localCheckpoint(eager=True)
+        n_edges = int(obs.get["n"] or 0)
+        # converged when the edge set is stable (star fixed point): compare
+        # via anti-join only when sizes already match
+        if n_edges == cur.count():
+            diff = new_cur.join(cur, ["a", "b"], "left_anti").limit(1).count()
+            if diff == 0:
+                cur = new_cur
+                break
+        cur = new_cur
+
+    # cur is now (component_min, member) star edges; isolated nodes and the
+    # component roots themselves map to their own id
+    comp = cur.select(F.col("b").alias("id"), F.col("a").alias("component"))
+    out = (
+        nodes.join(comp, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
+    e.unpersist()
+    return out

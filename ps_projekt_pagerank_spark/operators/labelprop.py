@@ -14,7 +14,7 @@ label without a window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -41,7 +41,7 @@ def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
 
-    for _ in range(rounds):
+    for rnd in range(rounds):
         votes = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy(F.col("src").alias("nid"), "label")
@@ -53,21 +53,28 @@ def label_propagation(edges: DataFrame, rounds: int = 5) -> DataFrame:
             F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("w")
         ).select("nid", (-F.col("w.neg")).alias("new_label"))
 
-        new_labels = (
+        stepped = (
             labels.join(winner, labels["id"] == winner["nid"], "left")
             .select(
-                "id", F.coalesce("new_label", F.col("label")).alias("label")
+                "id",
+                F.coalesce("new_label", F.col("label")).alias("new_label"),
+                F.col("label").alias("old_label"),
             )
         )
-        # truncate lineage every round (plan references `labels` twice)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # lineage truncation + changed-count in ONE action (the plan
+        # references `labels` twice, so it must be cut every round)
+        obs = Observation(f"lp_round_{rnd}")
+        new_labels = (
+            stepped.observe(
+                obs,
+                F.sum(
+                    (F.col("new_label") != F.col("old_label")).cast("long")
+                ).alias("changed"),
+            )
+            .select("id", F.col("new_label").alias("label"))
+            .localCheckpoint(eager=True)
         )
+        changed = int(obs.get["changed"] or 0)
         labels.unpersist()
         labels = new_labels
         if changed == 0:

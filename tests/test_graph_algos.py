@@ -63,3 +63,43 @@ def test_triangles_dedup_and_self_loops(spark):
     assert expected_total == 1
     edges = edges_from_pairs(spark, edge_list)
     assert triangles_total(edges).first()["triangles"] == 1
+
+
+@pytest.mark.parametrize("name", ["sink-test", "mini", "small"])
+def test_connected_components_star_exact(spark, name):
+    from ps_projekt_pagerank_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edge_list = FIXTURE_GRAPHS[name]
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(
+            edges_from_pairs(spark, edge_list)
+        ).collect()
+    }
+    assert got == oracle.connected_components(edge_list)
+
+
+def test_connected_components_star_chain_and_random(spark):
+    """A long chain (the O(diameter) worst case min-label propagation is
+    slow on — star handles it in O(log n) rounds) plus a seeded random
+    multigraph with self-loops and isolated blocks."""
+    import random
+
+    from ps_projekt_pagerank_spark.operators.components import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(60)]
+    rng = random.Random(3)
+    rand = [(rng.randrange(50), rng.randrange(50)) for _ in range(60)]
+    rand += [(77, 77), (90, 91)]
+    for edge_list in (chain, rand):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(
+                edges_from_pairs(spark, edge_list)
+            ).collect()
+        }
+        assert got == oracle.connected_components(edge_list)
