@@ -119,3 +119,27 @@ def test_snap_reader(spark, tmp_path):
     edges = read_snap_edges(spark, str(p))
     rows = [(r["src"], r["dst"]) for r in edges.collect()]
     assert sorted(rows) == [(0, 1), (0, 1), (1, 2), (2, 0)]  # dup kept
+
+
+@pytest.mark.parametrize(
+    ("fname", "name"),
+    [
+        ("mini-web-Google.txt", "mini"),
+        ("small-web-Google.txt", "small"),
+        ("sink-test-web-Google.txt", "sink-test"),
+    ],
+)
+def test_snap_reader_on_reference_fixtures(spark, fname, name):
+    """S1 reader on the reference repo's actual committed fixture files
+    (read-only): comment/header handling, tab separation, and that our
+    inlined FIXTURE_GRAPHS edge sets are exactly what the files contain."""
+    import os
+
+    from ps_projekt_pagerank_spark.sources.snap import read_snap_edges
+
+    path = f"/root/reference/web-Google/{fname}"
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures not present")
+    rows = read_snap_edges(spark, path).collect()
+    got = sorted((r["src"], r["dst"]) for r in rows)
+    assert got == sorted(FIXTURE_GRAPHS[name])
