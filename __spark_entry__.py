@@ -271,6 +271,12 @@ def _q_events_agg(spark, sf_dir):
     return windowed_event_agg(D.events(spark, sf_dir))
 
 
+def _q_events_sessions(spark, sf_dir):
+    from ps_projekt_pagerank_spark.streaming.events import sessionized
+
+    return sessionized(D.events(spark, sf_dir))
+
+
 def _q_multimodal_decode(spark, sf_dir):
     media = mm.fake_media(D.documents(spark, sf_dir))
     return mm.decode_image(media, codec="fake")
@@ -312,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_extract_text": _q_extract_text,
         "s4_extract_edges": _q_extract_edges,
         "events_5min_agg": _q_events_agg,
+        "events_sessions": _q_events_sessions,
         "mm_decode_image": _q_multimodal_decode,
         "mm_frame_sample": _q_frame_sample,
     }
@@ -554,6 +561,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start, "
         "event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    )
+    sqls["events_sessions"] = (
+        "WITH o AS (SELECT user_id, ts, value, event_id, "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, "
+        "event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events), "
+        "g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS "
+        "session_start, count(*) AS n_events, round(sum(value), 6) AS "
+        "sum_value FROM g GROUP BY user_id, sid"
     )
     sqls["mm_decode_image"] = (
         "SELECT doc_id AS media_id, "

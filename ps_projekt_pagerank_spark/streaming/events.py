@@ -69,6 +69,32 @@ def stream_windowed_event_agg(
     return spark.sql(f"SELECT * FROM {queryName}")
 
 
+SESSION_GAP = "30 minutes"
+
+
+def sessionized(events: DataFrame) -> DataFrame:
+    """(user_id, session_start BIGINT, n_events, sum_value) — gap-based
+    session windows: events of a user belong to one session while each gap
+    is at most 30 minutes (Spark's session_window merges gap <= 30m; only a
+    strictly larger gap splits — the SQL oracle's islands condition uses
+    > gap for a new session to match exactly). Works unchanged as a streaming agg with a watermark."""
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("long")
+            .alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup_first_seen(
     spark: SparkSession,
     parquet_dir: str,

@@ -127,3 +127,36 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     out = stream_dedup_first_seen(spark, pdir, ["event_type"]).collect()
     assert len(out) == 40
     assert sorted(r["event_type"] for r in out) == sorted(f"k{i}" for i in range(40))
+
+
+def test_sessionized_gap_semantics(spark):
+    import datetime as dt
+
+    from ps_projekt_pagerank_spark.streaming.events import sessionized
+
+    base = dt.datetime(2024, 1, 1)
+    mins = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: gaps 10m, 29m59s, 30m-exactly -> all ONE session
+        # (Spark session_window merges gap <= 30m; only > 30m splits)
+        (0, mins(0), 1, "a", 1.0, "{}"),
+        (1, mins(10), 1, "a", 2.0, "{}"),
+        (2, mins(10) + dt.timedelta(minutes=29, seconds=59), 1, "a", 3.0, "{}"),
+        (3, mins(10) + dt.timedelta(minutes=59, seconds=59), 1, "a", 4.0, "{}"),
+        # user 2: single event
+        (4, mins(5), 2, "b", 9.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    out = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sessionized(events).collect()
+    }
+    epoch = lambda d: int(d.timestamp())  # noqa: E731
+    assert out == {
+        (1, epoch(mins(0))): (4, 10.0),
+        (2, epoch(mins(5))): (1, 9.0),
+    }
