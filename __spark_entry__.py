@@ -271,6 +271,22 @@ def _q_events_agg(spark, sf_dir):
     return windowed_event_agg(D.events(spark, sf_dir))
 
 
+def _q_events_props(spark, sf_dir):
+    """Semi-structured path: parse the JSON props column JVM-side
+    (get_json_object — no Python) and aggregate the extracted field."""
+    ev = D.events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _q_events_sessions(spark, sf_dir):
     from ps_projekt_pagerank_spark.streaming.events import sessionized
 
@@ -319,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_extract_edges": _q_extract_edges,
         "events_5min_agg": _q_events_agg,
         "events_sessions": _q_events_sessions,
+        "events_props_json": _q_events_props,
         "mm_decode_image": _q_multimodal_decode,
         "mm_frame_sample": _q_frame_sample,
     }
@@ -573,6 +590,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS "
         "session_start, count(*) AS n_events, round(sum(value), 6) AS "
         "sum_value FROM g GROUP BY user_id, sid"
+    )
+    sqls["events_props_json"] = (
+        "SELECT event_type, count(*) AS n, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) "
+        "AS avg_k, max(CAST(json_extract_string(props, '$.k') AS INTEGER)) "
+        "AS max_k FROM events GROUP BY event_type"
     )
     sqls["mm_decode_image"] = (
         "SELECT doc_id AS media_id, "
