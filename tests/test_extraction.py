@@ -106,3 +106,31 @@ def test_pages_to_pagerank_end_to_end(spark):
     assert set(got_by_node) == set(expected)
     for nid, r in expected.items():
         assert math.isclose(got_by_node[nid], r, abs_tol=1e-6)
+
+
+def test_text_byte_identical_generated_html(spark):
+    """Adversarial generated html (nested tags, entities, script/style with
+    angle brackets, whitespace runs, unicode) — the Arrow UDF must be
+    byte-identical to the sequential oracle on every page."""
+    import random
+
+    rng = random.Random(42)
+    frags = [
+        "plain words", "x&amp;y", "&lt;tag&gt;", "a  b\tc\nd", "&nbsp;",
+        "<b>bold</b>", "<i>it</i>", "<div class='x'>block</div>",
+        "<script>if (a < b) { alert('<p>'); }</script>",
+        "<style>p > a { color: #fff }</style>",
+        "&quot;q&quot;", "&#39;s&#39;", "café üß",
+        "<a href=\"u1\">l</a>", "", "   ", "<br/>", "<p>",
+    ]
+    pages = []
+    for i in range(60):
+        body = " ".join(rng.choice(frags) for _ in range(rng.randrange(1, 12)))
+        html = f"<html><body>{body}</body></html>"
+        pages.append((f"u{i}", html.encode("utf-8")))
+
+    df = spark.createDataFrame(pages, "url STRING, html BINARY")
+    got = {r["url"]: r["text"] for r in extraction.extract_text(df).collect()}
+    for url, html in pages:
+        expected = extract_text(html.decode("utf-8"))
+        assert got[url].encode() == expected.encode(), (url, got[url], expected)
