@@ -32,11 +32,12 @@ class GraphTables:
     """Build-once, iterate-many graph state (analogue of reference CSR)."""
 
     nodes: DataFrame  # id LONG, outdeg LONG, is_sink BOOLEAN (persisted)
-    adj: DataFrame  # src LONG, dst LONG, w LONG (persisted, hash-part. src)
+    adj: DataFrame  # src, dst, w in id_type (persisted, hash-part. src)
     num_nodes: int
     num_edges: int  # multigraph edge count (sum of w)
     num_sinks: int
     num_adj_rows: int = 0  # distinct (src,dst) pairs actually iterated
+    id_type: str = "long"  # narrow int layout when max id < 2^31
 
     def unpersist(self) -> None:
         self.nodes.unpersist()
@@ -91,6 +92,18 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
         .repartition(p, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    counts = nodes.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_sink").cast("long")).alias("s"),
+        F.max("id").alias("m"),
+    ).first()
+
+    # narrow-id layout: after dictionary encoding, ids fit int32 far beyond
+    # any single-cluster graph (2^31 vertices); storing the iterated
+    # adjacency as int halves its bytes per row — less cache traffic every
+    # iteration. External schemas stay LongType (pagerank casts back).
+    narrow = counts["m"] is not None and int(counts["m"]) < 2**31
+
     # weighted adjacency: duplicate (src,dst) multigraph edges collapse to
     # one row with a count — each duplicate contributes rank/outdeg
     # separately in the reference (Graph.cpp:94-97), which w * rank/outdeg
@@ -100,16 +113,18 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
     # repartition(p, src) needs no second shuffle (src-hash satisfies the
     # (src,dst) clustering) and the result STAYS hash-partitioned by src —
     # the layout every iteration's scatter join reuses.
+    id_t = "int" if narrow else "long"
     adj = (
-        edges.repartition(p, "src")
+        edges.select(
+            F.col("src").cast(id_t).alias("src"),
+            F.col("dst").cast(id_t).alias("dst"),
+        )
+        .repartition(p, "src")
         .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
+        .agg(F.count("*").cast(id_t).alias("w"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    counts = nodes.agg(
-        F.count("*").alias("n"), F.sum(F.col("is_sink").cast("long")).alias("s")
-    ).first()
     edge_counts = adj.agg(
         F.sum("w").alias("e"), F.count("*").alias("r")
     ).first()
@@ -120,4 +135,5 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
         num_edges=int(edge_counts["e"]),
         num_sinks=int(counts["s"]),
         num_adj_rows=int(edge_counts["r"]),
+        id_type=id_t,
     )

@@ -147,9 +147,12 @@ def pagerank(
         return PageRankResult(ranks=g.nodes.select("id", F.lit(0.0).alias("rank")),
                               iterations=0)
 
+    # loop state mirrors the adjacency's (possibly int32) id layout so the
+    # per-iteration scatter join keys match without casts; the public
+    # result schema is cast back to LongType at the end
     state = g.nodes.select(
-        "id",
-        "outdeg",
+        F.col("id").cast(g.id_type).alias("id"),
+        F.col("outdeg").cast(g.id_type).alias("outdeg"),
         "is_sink",
         F.lit(1.0 / n).alias("rank"),
         F.lit(True).alias("active"),
@@ -159,8 +162,14 @@ def pagerank(
     if checkpointer is not None:
         resumed = checkpointer.latest(state.sparkSession)
         if resumed is not None:
-            start_iter, state = resumed
-            state = state.select(*_STATE_COLS).persist(StorageLevel.MEMORY_AND_DISK)
+            start_iter, ck = resumed
+            state = ck.select(
+                F.col("id").cast(g.id_type).alias("id"),
+                F.col("outdeg").cast(g.id_type).alias("outdeg"),
+                "is_sink",
+                "rank",
+                "active",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
 
     n_active, sink_rank = _stats(state)
     iterations = start_iter
@@ -211,7 +220,7 @@ def pagerank(
         if checkpointer is not None:
             checkpointer.write(iterations, state, m)
 
-    ranks = state.select("id", "rank")
+    ranks = state.select(F.col("id").cast("long").alias("id"), "rank")
     if own_graph:
         g.unpersist()
     return PageRankResult(ranks=ranks, iterations=iterations, metrics=metrics)
@@ -232,7 +241,10 @@ def pagerank_fixed(
     g = graph or build_graph(edges)
     n = g.num_nodes
     state = g.nodes.select(
-        "id", "outdeg", "is_sink", F.lit(1.0 / n).alias("rank"),
+        F.col("id").cast(g.id_type).alias("id"),
+        F.col("outdeg").cast(g.id_type).alias("outdeg"),
+        "is_sink",
+        F.lit(1.0 / n).alias("rank"),
         F.lit(True).alias("active"),
     )
     for _ in range(num_iterations):
@@ -243,7 +255,7 @@ def pagerank_fixed(
         state = _step(
             state, g.adj, sink_sum, damping, delta=-1.0, salt_buckets=1
         ).localCheckpoint(eager=True)  # lineage truncation, see pagerank()
-    out = state.select("id", "rank")
+    out = state.select(F.col("id").cast("long").alias("id"), "rank")
     if own_graph:
         g.unpersist()
     return out
