@@ -113,6 +113,9 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
     # repartition(p, src) needs no second shuffle (src-hash satisfies the
     # (src,dst) clustering) and the result STAYS hash-partitioned by src —
     # the layout every iteration's scatter join reuses.
+    # sortWithinPartitions makes each cached partition a CSR-style run of
+    # (src, sorted dst) — the in-memory columnar cache then RLE/delta
+    # encodes the src column, shrinking the bytes every iteration re-scans
     id_t = "int" if narrow else "long"
     adj = (
         edges.select(
@@ -122,6 +125,7 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
         .repartition(p, "src")
         .groupBy("src", "dst")
         .agg(F.count("*").cast(id_t).alias("w"))
+        .sortWithinPartitions("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
