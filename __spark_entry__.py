@@ -203,6 +203,16 @@ def _q_knn(spark, sf_dir):
     )
 
 
+def _q_knn_ivf(spark, sf_dir):
+    vecs = D.embeddings(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sim.knn_ivf(
+        vecs, queries, k=5, num_centroids=8, nprobe=2
+    ).select("query_id", "neighbor_id", "knn_rank")
+
+
 def _q_knn_lsh(spark, sf_dir):
     # LSH-bucketed ANN — xxhash64 hyperplanes, Spark-only; rows-only check
     vecs = D.embeddings(spark, sf_dir)
@@ -328,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": _q_embedding_neardup,
         "knn_top5": _q_knn,
         "knn_lsh_top5": _q_knn_lsh,
+        "knn_ivf_top5": _q_knn_ivf,
         "text_token_stats": _q_token_stats,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -524,6 +535,9 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS knn_rank "
         "FROM scored) "
         "SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5"
+    )
+    sqls["knn_ivf_top5"] = (
+        'WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8), vp AS (SELECT e.vec_id AS nid, c.cent_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(c.cvec) AS DOUBLE) AS y FROM embeddings e, cents c), vs AS (SELECT nid, cent_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cs FROM vp GROUP BY nid, cent_id), vcell AS (SELECT nid, cent_id AS cell FROM (SELECT nid, cent_id, row_number() OVER (PARTITION BY nid ORDER BY cs DESC, cent_id ASC) AS rn FROM vs) WHERE rn = 1), qcells AS (SELECT query_id, cell FROM (SELECT nid AS query_id, cent_id AS cell, row_number() OVER (PARTITION BY nid ORDER BY cs DESC, cent_id ASC) AS rn FROM vs WHERE nid < 3) WHERE rn <= 2), pairs AS (SELECT DISTINCT qc.query_id, v.nid AS neighbor_id FROM qcells qc JOIN vcell v ON v.cell = qc.cell WHERE v.nid <> qc.query_id), pc AS (SELECT p.query_id, p.neighbor_id, CAST(unnest(q.embedding) AS DOUBLE) AS x, CAST(unnest(n.embedding) AS DOUBLE) AS y FROM pairs p JOIN embeddings q ON q.vec_id = p.query_id JOIN embeddings n ON n.vec_id = p.neighbor_id), ps AS (SELECT query_id, neighbor_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score FROM pc GROUP BY query_id, neighbor_id), ranked AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS knn_rank FROM ps) SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5'
     )
     sqls["text_token_stats"] = (
         "WITH base AS (SELECT doc_id, text, length(text) AS n_chars_m, "

@@ -8,6 +8,11 @@
   hyperplane components derive from xxhash64(dim, bit)) → b-bit bucket;
   candidates share a bucket; probing multiple tables raises recall. The
   scale path: shuffle is per-bucket, never O(n²).
+- IVF ANN: coarse quantization — every vector is assigned to its nearest
+  of K centroids (deterministic: the first K vectors by id, so any engine
+  reproduces the cells), a query scores only the vectors in its ``nprobe``
+  nearest cells. The classic inverted-file trade: recall vs the fraction
+  of the corpus scanned; cells are the shuffle/partition unit at scale.
 
 Scores are rounded before ranking and ties broken by id, so results are
 deterministic and engine-comparable.
@@ -129,6 +134,79 @@ def knn_lsh(
             F.round(cosine("qvec", "cvec"), 6).alias("score"),
         )
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
+
+
+def ivf_centroids(
+    vecs: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cent_id, cvec) — deterministic coarse centroids: the first
+    ``num_centroids`` vectors by id (seed-free; a production build would
+    k-means these, the assignment/probe machinery is identical)."""
+    return vecs.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+
+
+def _nearest_cells(points: DataFrame, cents: DataFrame, n: int,
+                   point_id: str, point_vec: str) -> DataFrame:
+    """(point_id, cell, cell_rank<=n) by cosine to each centroid; ties by
+    rounded score then centroid id, so any engine reproduces the cells."""
+    scored = F.broadcast(cents).crossJoin(points).select(
+        F.col(point_id),
+        F.col("cent_id"),
+        F.round(cosine(point_vec, "cvec"), 6).alias("cscore"),
+    )
+    w = Window.partitionBy(point_id).orderBy(F.desc("cscore"), F.asc("cent_id"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= n)
+        .select(point_id, F.col("cent_id").alias("cell"), "cell_rank")
+    )
+
+
+def knn_ivf(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via inverted-file probing: score only candidates
+    whose cell is among the query's ``nprobe`` nearest cells. Output schema
+    matches knn_bruteforce (query_id, neighbor_id, score, knn_rank)."""
+    cents = ivf_centroids(vecs, num_centroids, id_col, vec_col)
+    cand_cells = _nearest_cells(
+        vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec2")),
+        cents, 1, "neighbor_id", "cvec2",
+    ).select("neighbor_id", "cell")
+    cand = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec2")
+    ).join(cand_cells, "neighbor_id")
+
+    probe = _nearest_cells(
+        queries.select("query_id", "qvec"), cents, nprobe, "query_id", "qvec"
+    ).select("query_id", "cell")
+    q = F.broadcast(queries.select("query_id", "qvec").join(probe, "query_id"))
+
+    scored = q.join(
+        cand,
+        (q["cell"] == cand["cell"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("qvec", "cvec2"), 6).alias("score"),
+    ).distinct()  # a candidate may share several probed cells -> dedup
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("knn_rank", F.row_number().over(w))

@@ -123,3 +123,44 @@ def test_knn_lsh_subset_of_bruteforce_scores(spark):
     for r in approx:  # every ANN hit is a real candidate with a real score
         assert (r["query_id"], r["neighbor_id"]) in exact_scores
         assert r["score"] == exact_scores[(r["query_id"], r["neighbor_id"])]
+
+
+def test_knn_ivf_matches_numpy_replication(spark):
+    """IVF = brute-force restricted to the query's nprobe nearest cells;
+    replicate cells, probes and ranking in NumPy and compare exactly."""
+    import numpy as np
+
+    from ps_projekt_pagerank_spark.operators.similarity import knn_ivf
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(40, 8).astype("float32")
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    queries = vecs.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r["query_id"], r["knn_rank"]): r["neighbor_id"]
+        for r in knn_ivf(vecs, queries, k=3, num_centroids=4, nprobe=2).collect()
+    }
+
+    m = mat.astype("float64")
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cs = np.round(norm @ norm[:4].T, 6)  # cosine to the 4 centroids
+    # cell per vector: argmax with tie-break by centroid id (stable argmax)
+    cells = cs.argmax(axis=1)
+    expected = {}
+    for qid in (0, 1):
+        order = sorted(range(4), key=lambda c: (-cs[qid, c], c))[:2]
+        cand = [
+            j for j in range(40)
+            if j != qid and cells[j] in order
+        ]
+        scores = np.round(norm[cand] @ norm[qid], 6)
+        ranked = sorted(zip(cand, scores), key=lambda t: (-t[1], t[0]))[:3]
+        for rank, (nid, _) in enumerate(ranked, 1):
+            expected[(qid, rank)] = nid
+    assert got == expected
