@@ -172,10 +172,14 @@ def _q_minhash_pairs(spark, sf_dir):
 
 
 def _q_token_jaccard(spark, sf_dir):
+    # candidate-driven: minhash LSH pairs feed the exact-jaccard verifier,
+    # so the plan never builds the token-bucket self-join (the scale path);
+    # the DuckDB twin replays the identical band predicate
     docs = D.documents(spark, sf_dir).select("doc_id", "text").where(
         F.col("doc_id") < 120
     )
-    return dd.token_jaccard_pairs(docs, threshold=0.5)
+    cands = dd.minhash_lsh_pairs(docs)
+    return dd.token_jaccard_pairs(docs, threshold=0.5, candidates=cands)
 
 
 def _q_simhash(spark, sf_dir):
@@ -417,6 +421,82 @@ def _pagerank_fixed_sql(num_iterations: int) -> str:
     return ",\n".join(parts) + f"\nSELECT id, round(rank, 9) AS rank FROM r{num_iterations}"
 
 
+def _kmeans_cents_ctes(num_centroids: int, iters: int) -> tuple[list[str], str]:
+    """CTE chain replaying similarity.ivf_centroids' deterministic Lloyd
+    k-means (seed = smallest ids present; assignment by rounded cosine,
+    ties → smaller cent_id; update = per-dim mean rounded 6 dp). Returns
+    (ctes, name_of_final_centroid_cte)."""
+    ctes = [
+        f"seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id "
+        f"LIMIT {num_centroids})",
+        "c0 AS (SELECT vec_id AS cent_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec "
+        "FROM embeddings WHERE vec_id IN (SELECT vec_id FROM seeds))",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"ap{i} AS (SELECT e.vec_id AS nid, c.cent_id, "
+            f"CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(c.cvec) AS y "
+            f"FROM embeddings e, c{i} c)",
+            f"asg{i} AS (SELECT nid, cent_id, round(sum(x*y) / "
+            f"(sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cs FROM ap{i} "
+            f"GROUP BY nid, cent_id)",
+            f"cell{i} AS (SELECT nid, cent_id AS cell FROM (SELECT nid, "
+            f"cent_id, row_number() OVER (PARTITION BY nid ORDER BY cs DESC, "
+            f"cent_id ASC) AS rn FROM asg{i}) WHERE rn = 1)",
+            f"dim{i} AS (SELECT ce.cell, generate_subscripts(e.embedding, 1) "
+            f"AS dim, CAST(unnest(e.embedding) AS DOUBLE) AS val "
+            f"FROM embeddings e JOIN cell{i} ce ON ce.nid = e.vec_id)",
+            f"c{i + 1} AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS "
+            f"cvec FROM (SELECT cell, dim, round(avg(val), 6) AS m "
+            f"FROM dim{i} GROUP BY cell, dim) GROUP BY cell)",
+        ]
+    return ctes, f"c{iters}"
+
+
+def _ivf_assign_ctes(cents: str, nprobe: int) -> list[str]:
+    """vs (vector-vs-centroid rounded cosine) and vcell (each vector's
+    ``nprobe`` nearest cells) over the final centroid CTE."""
+    return [
+        f"vp AS (SELECT e.vec_id AS nid, c.cent_id, "
+        f"CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(c.cvec) AS y "
+        f"FROM embeddings e, {cents} c)",
+        "vs AS (SELECT nid, cent_id, round(sum(x*y) / (sqrt(sum(x*x)) * "
+        "sqrt(sum(y*y))), 6) AS cs FROM vp GROUP BY nid, cent_id)",
+        f"vcell AS (SELECT nid, cell, rn FROM (SELECT nid, cent_id AS cell, "
+        f"row_number() OVER (PARTITION BY nid ORDER BY cs DESC, cent_id ASC) "
+        f"AS rn FROM vs) WHERE rn <= {nprobe})",
+    ]
+
+
+def _label_prop_sql(rounds: int) -> str:
+    """Unrolled synchronous label propagation — the exact SQL twin of
+    operators.labelprop.label_propagation (dedup'd undirected neighbors,
+    mode label per round, count-ties → smallest label, isolated nodes keep
+    theirs). The Spark loop's early exit is a no-op difference: once a
+    round changes nothing every later round is identity."""
+    parts = [
+        f"WITH e AS ({_BLOCK})",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "sym AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e "
+        "WHERE src <> dst UNION ALL SELECT dst AS src, src AS dst FROM e "
+        "WHERE src <> dst))",
+        "l0 AS (SELECT id, id AS label FROM nodes)",
+    ]
+    for k in range(rounds):
+        parts += [
+            f"v{k} AS (SELECT s.src AS nid, l.label, count(*) AS n "
+            f"FROM sym s JOIN l{k} l ON s.dst = l.id GROUP BY s.src, l.label)",
+            f"w{k} AS (SELECT nid, label AS new_label FROM (SELECT nid, "
+            f"label, row_number() OVER (PARTITION BY nid ORDER BY n DESC, "
+            f"label ASC) AS rn FROM v{k}) WHERE rn = 1)",
+            f"l{k + 1} AS (SELECT l.id, coalesce(w.new_label, l.label) AS "
+            f"label FROM l{k} l LEFT JOIN w{k} w ON w.nid = l.id)",
+        ]
+    return ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
@@ -500,25 +580,47 @@ def oracle_sql() -> dict[str, str]:
         f"FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND "
         f"((a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3))"
     )
+    # candidate-driven twin: same minhash band predicate as the Spark gate
+    # query (num_hashes=4, rows_per_band=2), intersections only per
+    # candidate pair — mirrors dd.token_jaccard_pairs(candidates=...)
     sqls["dedup_token_jaccard"] = (
         f"WITH toks AS ({_toks_sql('SELECT doc_id, text FROM documents WHERE doc_id < 120')}), "
         "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
-        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
-        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id "
-        "GROUP BY 1, 2) "
+        f"sigs AS ({_minhash_sigs_sql('SELECT doc_id, text FROM documents WHERE doc_id < 120')}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND "
+        "((a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3))), "
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c "
+        "JOIN toks ta ON ta.doc_id = c.id_a "
+        "JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok "
+        "GROUP BY c.id_a, c.id_b) "
         "SELECT id_a, id_b, jaccard FROM ("
         "SELECT id_a, id_b, round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) "
         "AS jaccard FROM inter "
         "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b) "
         "WHERE jaccard >= 0.5"
     )
+    # IVF-bucketed twin (k-means cells, nprobe 2) — replays
+    # dd.embedding_neardup_pairs' candidate generation exactly; never
+    # all-pairs (the Spark plan has no cartesian join either)
+    km_ctes, km_fin = _kmeans_cents_ctes(8, 2)
     sqls["dedup_embedding_pairs"] = (
-        "WITH pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "a.embedding AS ea, b.embedding AS eb FROM embeddings a "
-        "JOIN embeddings b ON a.vec_id < b.vec_id), "
-        "comps AS (SELECT id_a, id_b, CAST(unnest(ea) AS DOUBLE) AS x, "
-        "CAST(unnest(eb) AS DOUBLE) AS y FROM pr) "
-        "SELECT id_a, id_b FROM comps GROUP BY id_a, id_b "
+        "WITH "
+        + ", ".join(
+            km_ctes
+            + _ivf_assign_ctes(km_fin, 2)
+            + [
+                "cand AS (SELECT DISTINCT a.nid AS id_a, b.nid AS id_b "
+                "FROM vcell a JOIN vcell b ON a.cell = b.cell "
+                "AND a.nid < b.nid)",
+                "pc AS (SELECT c.id_a, c.id_b, "
+                "CAST(unnest(x.embedding) AS DOUBLE) AS x, "
+                "CAST(unnest(y.embedding) AS DOUBLE) AS y FROM cand c "
+                "JOIN embeddings x ON x.vec_id = c.id_a "
+                "JOIN embeddings y ON y.vec_id = c.id_b)",
+            ]
+        )
+        + " SELECT id_a, id_b FROM pc GROUP BY id_a, id_b "
         "HAVING sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) > 0.35"
     )
     sqls["knn_top5"] = (
@@ -536,8 +638,37 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored) "
         "SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5"
     )
+    # trained-k-means twin: candidate vectors live in their single nearest
+    # cell (vcell rn=1), queries probe their 2 nearest cells
+    ivf_ctes, ivf_fin = _kmeans_cents_ctes(8, 2)
     sqls["knn_ivf_top5"] = (
-        'WITH cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8), vp AS (SELECT e.vec_id AS nid, c.cent_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, CAST(unnest(c.cvec) AS DOUBLE) AS y FROM embeddings e, cents c), vs AS (SELECT nid, cent_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cs FROM vp GROUP BY nid, cent_id), vcell AS (SELECT nid, cent_id AS cell FROM (SELECT nid, cent_id, row_number() OVER (PARTITION BY nid ORDER BY cs DESC, cent_id ASC) AS rn FROM vs) WHERE rn = 1), qcells AS (SELECT query_id, cell FROM (SELECT nid AS query_id, cent_id AS cell, row_number() OVER (PARTITION BY nid ORDER BY cs DESC, cent_id ASC) AS rn FROM vs WHERE nid < 3) WHERE rn <= 2), pairs AS (SELECT DISTINCT qc.query_id, v.nid AS neighbor_id FROM qcells qc JOIN vcell v ON v.cell = qc.cell WHERE v.nid <> qc.query_id), pc AS (SELECT p.query_id, p.neighbor_id, CAST(unnest(q.embedding) AS DOUBLE) AS x, CAST(unnest(n.embedding) AS DOUBLE) AS y FROM pairs p JOIN embeddings q ON q.vec_id = p.query_id JOIN embeddings n ON n.vec_id = p.neighbor_id), ps AS (SELECT query_id, neighbor_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score FROM pc GROUP BY query_id, neighbor_id), ranked AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS knn_rank FROM ps) SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5'
+        "WITH "
+        + ", ".join(
+            ivf_ctes
+            + _ivf_assign_ctes(ivf_fin, 1)
+            + [
+                "qcells AS (SELECT query_id, cell FROM (SELECT nid AS "
+                "query_id, cent_id AS cell, row_number() OVER (PARTITION BY "
+                "nid ORDER BY cs DESC, cent_id ASC) AS rn FROM vs "
+                "WHERE nid < 3) WHERE rn <= 2)",
+                "pairs AS (SELECT DISTINCT qc.query_id, v.nid AS neighbor_id "
+                "FROM qcells qc JOIN vcell v ON v.cell = qc.cell "
+                "WHERE v.nid <> qc.query_id)",
+                "pc AS (SELECT p.query_id, p.neighbor_id, "
+                "CAST(unnest(q.embedding) AS DOUBLE) AS x, "
+                "CAST(unnest(n.embedding) AS DOUBLE) AS y FROM pairs p "
+                "JOIN embeddings q ON q.vec_id = p.query_id "
+                "JOIN embeddings n ON n.vec_id = p.neighbor_id)",
+                "ps AS (SELECT query_id, neighbor_id, round(sum(x*y) / "
+                "(sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score FROM pc "
+                "GROUP BY query_id, neighbor_id)",
+                "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+                "(PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) "
+                "AS knn_rank FROM ps)",
+            ]
+        )
+        + " SELECT query_id, neighbor_id, knn_rank FROM ranked "
+        "WHERE knn_rank <= 5"
     )
     sqls["text_token_stats"] = (
         "WITH base AS (SELECT doc_id, text, length(text) AS n_chars_m, "
@@ -553,10 +684,12 @@ def oracle_sql() -> dict[str, str]:
         "round(n_chars_m / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len "
         "FROM base JOIN hits ON base.doc_id = hits.doc_id"
     )
+    # CAST: DuckDB types sum(CASE...) as HUGEINT (int128) while Spark emits
+    # LONG; the driver's value hash is type-sensitive, so pin both to BIGINT
     sqls["text_lang_id"] = (
         "WITH hits AS (SELECT doc_id, "
-        "sum(CASE WHEN tok IN (" + _EN + ") THEN 1 ELSE 0 END) AS en_hits, "
-        "sum(CASE WHEN tok IN (" + _SL + ") THEN 1 ELSE 0 END) AS sl_hits "
+        "CAST(sum(CASE WHEN tok IN (" + _EN + ") THEN 1 ELSE 0 END) AS BIGINT) AS en_hits, "
+        "CAST(sum(CASE WHEN tok IN (" + _SL + ") THEN 1 ELSE 0 END) AS BIGINT) AS sl_hits "
         "FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok "
         "FROM documents) GROUP BY doc_id) "
         "SELECT doc_id, en_hits, sl_hits, "
@@ -625,7 +758,9 @@ def oracle_sql() -> dict[str, str]:
         "greatest(CAST(floor(octet_length(encode(text)) / 256.0) AS INTEGER) - 1, 0), "
         "10)) AS frame_no FROM documents"
     )
+    sqls["lp_labels"] = _label_prop_sql(5)
     # omitted on purpose (no SQL twin; driver rows-only check):
-    #   p_pagerank_converged_top20, lp_labels, dedup_simhash,
-    #   dedup_simhash_pairs, knn_lsh_top5
+    #   p_pagerank_converged_top20 (iterative-until-converged),
+    #   dedup_simhash, dedup_simhash_pairs, knn_lsh_top5 (xxhash64 is
+    #   Spark-only)
     return sqls

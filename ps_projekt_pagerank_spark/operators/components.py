@@ -13,6 +13,8 @@ label state (broadcast at small |V|).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -112,7 +114,6 @@ def connected_components_star(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    isolated = None  # star rounds drop nothing; track nodes for final join
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
@@ -121,6 +122,8 @@ def connected_components_star(
     )
 
     cur = e
+    prev_n = e.count()  # carried across rounds; each round's Observation
+    converged = False   # supplies the next comparison — no re-count action
     for rnd in range(max_rounds):
         # large-star: group by u over BOTH orientations; m = min(neighbors+u)
         both = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
@@ -161,12 +164,20 @@ def connected_components_star(
         n_edges = int(obs.get["n"] or 0)
         # converged when the edge set is stable (star fixed point): compare
         # via anti-join only when sizes already match
-        if n_edges == cur.count():
+        if n_edges == prev_n:
             diff = new_cur.join(cur, ["a", "b"], "left_anti").limit(1).count()
             if diff == 0:
                 cur = new_cur
+                converged = True
                 break
         cur = new_cur
+        prev_n = n_edges
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: no fixed point within {max_rounds} "
+            "rounds — components may be non-minimal; raise max_rounds",
+            stacklevel=2,
+        )
 
     # cur is now (component_min, member) star edges; isolated nodes and the
     # component roots themselves map to their own id
@@ -176,6 +187,9 @@ def connected_components_star(
         .select(
             "id", F.coalesce("component", F.col("id")).alias("component")
         )
+        # materialize (|V| rows) so both persisted inputs release eagerly
+        .localCheckpoint(eager=True)
     )
     e.unpersist()
+    nodes.unpersist()
     return out

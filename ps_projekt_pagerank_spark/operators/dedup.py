@@ -109,24 +109,55 @@ def token_jaccard_pairs(
     threshold: float,
     text_col: str = "text",
     candidates: DataFrame | None = None,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) exact token-set jaccard ≥ threshold.
 
-    With ``candidates`` (e.g. minhash_lsh_pairs output) only those pairs
-    are scored; without, all pairs sharing ≥1 token are scored via a
-    token-bucket self-join (fine at test scale; pass candidates at real
-    scale)."""
+    With ``candidates`` (e.g. minhash_lsh_pairs output) intersections are
+    computed candidate-driven — explode each pair by its a-side tokens and
+    probe the b-side with an equi-join on (id_b, tok) — so the pair space
+    is |candidates|, never the token-bucket blowup. Without candidates,
+    all pairs sharing ≥1 token are scored via a token-bucket self-join;
+    ``max_token_df`` caps the document frequency of join tokens there
+    (every stopword is otherwise a quadratic bucket — tokens above the cap
+    are skipped for intersection but still count toward the union, so
+    jaccard is a documented underestimate on capped runs)."""
     toks = _doc_tokens(docs, text_col)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("tok2"))
-    inter = (
-        ta.join(tb, (F.col("tok") == F.col("tok2")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
+        tb = toks.select(F.col("doc_id").alias("id_b"), "tok")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(ta, "id_a")
+            .join(tb, ["id_b", "tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        if max_token_df is not None:
+            df_ok = (
+                toks.groupBy("tok")
+                .agg(F.count("*").alias("df"))
+                .where(F.col("df") <= max_token_df)
+                .select("tok")
+            )
+            toks_j = toks.join(df_ok, "tok", "left_semi")
+        else:
+            toks_j = toks
+        ta = toks_j.select(F.col("doc_id").alias("id_a"), "tok")
+        tb = toks_j.select(
+            F.col("doc_id").alias("id_b"), F.col("tok").alias("tok2")
+        )
+        inter = (
+            ta.join(
+                tb,
+                (F.col("tok") == F.col("tok2"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -203,13 +234,60 @@ def simhash_near_pairs(
 
 
 def embedding_neardup_pairs(
-    vecs: DataFrame, threshold: float, id_col: str = "vec_id",
+    vecs: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """(id_a, id_b) embedding-cosine near-duplicates above threshold.
 
-    Brute-force within-partition pair generation (the test-scale baseline);
-    at scale, route through operators.similarity's LSH bucketing first."""
+    Bucketed, never all-pairs: every vector is assigned to its ``nprobe``
+    nearest IVF cells (deterministic k-means centroids, so the DuckDB
+    oracle replays the identical cells — unlike the xxhash64 LSH path),
+    candidate pairs share ≥1 cell, and cosine is scored only within
+    buckets. The pair space is O(Σ cell²/num_centroids), not O(n²); recall
+    is governed by nprobe (near-identical vectors share their nearest
+    cells). ``embedding_neardup_pairs_bruteforce`` is the exactness oracle
+    for recall tests at small scale."""
+    from .similarity import _nearest_cells, ivf_centroids
+
+    cents = ivf_centroids(vecs, num_centroids, kmeans_iters, id_col, vec_col)
+    cells = _nearest_cells(
+        vecs.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pvec")),
+        cents, nprobe, "pid", "pvec",
+    ).select("pid", "cell")
+    a = cells.select(F.col("cell"), F.col("pid").alias("id_a"))
+    b = cells.select(
+        F.col("cell").alias("cell2"), F.col("pid").alias("id_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(cosine("va", "vb") > threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs_bruteforce(
+    vecs: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact twin of embedding_neardup_pairs — O(n²), test-scale
+    recall oracle only; never wire into a gate/bench path."""
     a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

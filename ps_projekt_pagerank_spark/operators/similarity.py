@@ -144,15 +144,45 @@ def knn_lsh(
 def ivf_centroids(
     vecs: DataFrame,
     num_centroids: int = 8,
+    kmeans_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(cent_id, cvec) — deterministic coarse centroids: the first
-    ``num_centroids`` vectors by id (seed-free; a production build would
-    k-means these, the assignment/probe machinery is identical)."""
-    return vecs.where(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    """(cent_id, cvec ARRAY<DOUBLE>) — deterministic Lloyd k-means.
+
+    Init = the ``num_centroids`` smallest ids actually present (distributed
+    TakeOrdered — no dense-id assumption). Each iteration assigns every
+    vector to its nearest centroid by rounded cosine (ties → smaller
+    cent_id) and recomputes each non-empty cell's centroid as the per-dim
+    mean rounded to 6 dp — every step is engine-reproducible, so the DuckDB
+    oracle replays the identical trajectory. Seed-free, fixed iteration
+    count; centroids stay keyed by their seed's original id.
+
+    Scale: K centroid rows broadcast; an assignment pass is one
+    |n|×K broadcast join + per-vector top-1; an update pass shuffles
+    n·d (cell, dim, val) rows into K·d groups — linear per iteration.
+    """
+    seeds = vecs.select(id_col).orderBy(id_col).limit(num_centroids)
+    cents = vecs.join(F.broadcast(seeds), id_col).select(
+        F.col(id_col).alias("cent_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("cvec"),
     )
+    pts = vecs.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pvec"))
+    for _ in range(kmeans_iters):
+        assigned = _nearest_cells(pts, cents, 1, "pid", "pvec").select(
+            "pid", "cell"
+        )
+        dims = pts.join(assigned, "pid").select(
+            "cell", F.posexplode("pvec").alias("dim", "val")
+        )
+        cents = (
+            dims.groupBy("cell", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .groupBy(F.col("cell").alias("cent_id"))
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cent_id", F.transform("dm", lambda s: s["m"]).alias("cvec"))
+        )
+    return cents
 
 
 def _nearest_cells(points: DataFrame, cents: DataFrame, n: int,
@@ -178,13 +208,14 @@ def knn_ivf(
     k: int,
     num_centroids: int = 8,
     nprobe: int = 2,
+    kmeans_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k via inverted-file probing: score only candidates
     whose cell is among the query's ``nprobe`` nearest cells. Output schema
     matches knn_bruteforce (query_id, neighbor_id, score, knn_rank)."""
-    cents = ivf_centroids(vecs, num_centroids, id_col, vec_col)
+    cents = ivf_centroids(vecs, num_centroids, kmeans_iters, id_col, vec_col)
     cand_cells = _nearest_cells(
         vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec2")),
         cents, 1, "neighbor_id", "cvec2",

@@ -55,9 +55,12 @@ def _oriented(e: DataFrame) -> DataFrame:
     )
 
 
-def _closed_triangles(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(closed, e): closed = one row (x, y, z) per triangle; e = canonical
-    persisted edge set (caller unpersists)."""
+def _closed_triangles(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(closed, e, o): closed = one row (x, y, z) per triangle; e/o are the
+    persisted canonical and oriented edge sets — callers MUST unpersist both
+    after materializing anything derived from ``closed``."""
     e = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
     o = _oriented(e).persist(StorageLevel.MEMORY_AND_DISK)
     w1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
@@ -72,26 +75,35 @@ def _closed_triangles(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         (F.least("y", "z") == F.col("a")) & (F.greatest("y", "z") == F.col("b")),
         "left_semi",
     )
-    return closed, (e, o)
+    return closed, e, o
 
 
 def triangles_total(edges: DataFrame) -> DataFrame:
     """1-row DataFrame: (triangles LONG)."""
-    closed, handles = _closed_triangles(edges)
-    return closed.agg(F.count("*").alias("triangles"))
+    closed, e, o = _closed_triangles(edges)
+    # materialize the scalar (localCheckpoint keeps the result a DataFrame)
+    # so the two persisted edge sets can be released before returning
+    out = closed.agg(F.count("*").alias("triangles")).localCheckpoint(eager=True)
+    e.unpersist()
+    o.unpersist()
+    return out
 
 
 def triangles_per_node(edges: DataFrame) -> DataFrame:
     """(id LONG, triangles LONG) — triangles through each node; nodes in no
     triangle get 0."""
-    closed, handles = _closed_triangles(edges)
+    closed, e, o = _closed_triangles(edges)
     counts = (
         closed.select(F.col("x").alias("id"))
         .unionAll(closed.select(F.col("y").alias("id")))
         .unionAll(closed.select(F.col("z").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
+        # ≤|V| rows; materializing here lets e/o be released eagerly
+        .localCheckpoint(eager=True)
     )
+    e.unpersist()
+    o.unpersist()
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))

@@ -64,12 +64,42 @@ def extract_href_edges(pages: DataFrame) -> DataFrame:
     ).select("src_url", "dst_url", "href_pos")
 
 
-def url_dictionary(pages: DataFrame) -> DataFrame:
-    """(url, id) dense LongType ids, deterministic by url sort order."""
-    w = Window.orderBy("url")
-    return (
+def url_dictionary(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """(url, id) dense LongType ids, deterministic by url sort order.
+
+    Scale-safe: NO global window (a partitionless ``row_number`` funnels
+    the whole url universe through one task). Instead the distinct urls are
+    range-partitioned by url, numbered locally inside each sorted
+    partition, and shifted by per-partition offsets (a |partitions|-row
+    cumulative sum computed driver-side) — the classic distributed
+    zipWithIndex, every stage parallel. The range partitioning is pinned
+    with an eager localCheckpoint so the offset job and the final
+    projection see identical partition boundaries (range boundaries come
+    from sampling and must not be re-derived between the two jobs)."""
+    spark = pages.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    local = (
         pages.select("url").distinct()
-        .withColumn("id", F.row_number().over(w).cast("long") - 1)
+        .repartitionByRange(p, "url")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_idx",
+            F.row_number().over(Window.partitionBy("pid").orderBy("url"))
+            .cast("long") - 1,
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        local.groupBy("pid").agg(F.count("*").alias("c")).orderBy("pid").collect()
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((int(r["pid"]), acc))
+        acc += int(r["c"])
+    off_df = spark.createDataFrame(offsets, "pid INT, off LONG")
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select("url", (F.col("local_idx") + F.col("off")).alias("id"))
     )
 
 

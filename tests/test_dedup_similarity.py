@@ -125,9 +125,56 @@ def test_knn_lsh_subset_of_bruteforce_scores(spark):
         assert r["score"] == exact_scores[(r["query_id"], r["neighbor_id"])]
 
 
+def _kmeans_numpy(mat, num_centroids, iters):
+    """NumPy replication of similarity.ivf_centroids' deterministic Lloyd
+    trajectory: seeds = smallest ids, assignment by round(cosine,6) with
+    ties → smaller cent_id, update = per-dim mean rounded to 6 dp; empty
+    cells drop. Returns (cent_ids, centroid_matrix)."""
+    m = mat.astype("float64")
+    cent_ids = list(range(num_centroids))
+    cents = np.round(m[:num_centroids].copy(), 10)
+    for _ in range(iters):
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        cs = np.round(mn @ cn.T, 6)
+        # stable argmax = first max = smallest cent index; cent_ids ascend
+        cells = cs.argmax(axis=1)
+        new_ids, new_cents = [], []
+        for ci in range(len(cent_ids)):
+            members = m[cells == ci]
+            if len(members) == 0:
+                continue
+            new_ids.append(cent_ids[ci])
+            new_cents.append(np.round(members.mean(axis=0), 6))
+        cent_ids, cents = new_ids, np.array(new_cents)
+    return cent_ids, cents
+
+
+def test_ivf_centroids_match_numpy_kmeans(spark):
+    import numpy as np
+
+    from ps_projekt_pagerank_spark.operators.similarity import ivf_centroids
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(40, 8).astype("float32")
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["cent_id"]: r["cvec"]
+        for r in ivf_centroids(vecs, num_centroids=4, kmeans_iters=2).collect()
+    }
+    exp_ids, exp_cents = _kmeans_numpy(mat, 4, 2)
+    assert sorted(got) == exp_ids
+    for ci, cid in enumerate(exp_ids):
+        assert np.allclose(got[cid], exp_cents[ci], atol=1e-9)
+
+
 def test_knn_ivf_matches_numpy_replication(spark):
-    """IVF = brute-force restricted to the query's nprobe nearest cells;
-    replicate cells, probes and ranking in NumPy and compare exactly."""
+    """IVF = brute-force restricted to the query's nprobe nearest trained
+    cells; replicate the k-means, cells, probes and ranking in NumPy and
+    compare exactly."""
     import numpy as np
 
     from ps_projekt_pagerank_spark.operators.similarity import knn_ivf
@@ -144,17 +191,21 @@ def test_knn_ivf_matches_numpy_replication(spark):
     )
     got = {
         (r["query_id"], r["knn_rank"]): r["neighbor_id"]
-        for r in knn_ivf(vecs, queries, k=3, num_centroids=4, nprobe=2).collect()
+        for r in knn_ivf(
+            vecs, queries, k=3, num_centroids=4, nprobe=2, kmeans_iters=2
+        ).collect()
     }
 
+    cent_ids, cents = _kmeans_numpy(mat, 4, 2)
     m = mat.astype("float64")
     norm = m / np.linalg.norm(m, axis=1, keepdims=True)
-    cs = np.round(norm @ norm[:4].T, 6)  # cosine to the 4 centroids
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cs = np.round(norm @ cn.T, 6)  # cosine to the trained centroids
     # cell per vector: argmax with tie-break by centroid id (stable argmax)
     cells = cs.argmax(axis=1)
     expected = {}
     for qid in (0, 1):
-        order = sorted(range(4), key=lambda c: (-cs[qid, c], c))[:2]
+        order = sorted(range(len(cent_ids)), key=lambda c: (-cs[qid, c], c))[:2]
         cand = [
             j for j in range(40)
             if j != qid and cells[j] in order
@@ -164,3 +215,48 @@ def test_knn_ivf_matches_numpy_replication(spark):
         for rank, (nid, _) in enumerate(ranked, 1):
             expected[(qid, rank)] = nid
     assert got == expected
+
+
+def test_embedding_neardup_bucketed_subset_no_cartesian(spark):
+    """The IVF-bucketed near-dup path must (a) emit only true pairs —
+    a subset of the brute-force oracle, (b) still find the planted
+    near-duplicate, (c) compile to a plan with NO cartesian product (the
+    only non-equi joins allowed are the K-row broadcast centroid
+    assignments)."""
+    rows, _ = _vec_rows()
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    bucketed = dd.embedding_neardup_pairs(
+        df, threshold=0.9, num_centroids=4, nprobe=2, kmeans_iters=1
+    )
+    got = {(r["id_a"], r["id_b"]) for r in bucketed.collect()}
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs_bruteforce(df, threshold=0.9).collect()
+    }
+    assert got <= brute
+    assert (0, 1) in got
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bucketed.explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
+
+
+def test_token_jaccard_candidate_path_matches_full(docs):
+    """Candidate-driven jaccard == full token-bucket jaccard restricted to
+    the candidate set (same scores, no pair invented or lost)."""
+    cands = dd.minhash_lsh_pairs(docs)
+    via_cand = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.token_jaccard_pairs(
+            docs, threshold=0.2, candidates=cands
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.token_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert via_cand == {p: j for p, j in full.items() if p in cand_set}

@@ -134,3 +134,18 @@ def test_text_byte_identical_generated_html(spark):
     for url, html in pages:
         expected = extract_text(html.decode("utf-8"))
         assert got[url].encode() == expected.encode(), (url, got[url], expected)
+
+
+def test_url_dictionary_dense_sorted_parallel(spark):
+    """ids must be dense 0..n-1 in url sort order regardless of partition
+    count — the range-partition + per-partition-offset path must agree with
+    the single-threaded definition (and duplicates collapse first)."""
+    urls = [f"u{i:04d}" for i in range(197)]
+    rows = [(u, b"<p>x</p>") for u in urls] + [(urls[3], b"<p>dup</p>")]
+    pages = spark.createDataFrame(rows, "url STRING, html BINARY").repartition(7)
+    for p in (1, 5, 32):
+        got = {
+            r["url"]: r["id"]
+            for r in extraction.url_dictionary(pages, partitions=p).collect()
+        }
+        assert got == {u: i for i, u in enumerate(sorted(set(urls)))}
