@@ -46,7 +46,7 @@ def _pagerank_run(spark, sf_dir):
     generator (prepleti.cpp tripler; K=$SPARK_GRAFT_TRIPLE_K, default 5 →
     145.8M multigraph edges at sf0.1 — enough work per iteration that the
     metric measures the engine, not fixed local-mode latency).
-    Returns (seconds_of_iterative_phase, iterations, edges, adj_rows)."""
+    Returns (seconds, iterations, edges, adj_rows, salt_buckets)."""
     from ps_projekt_pagerank_spark import NORTH_EPSILON
     from ps_projekt_pagerank_spark.operators.graph import build_graph
     from ps_projekt_pagerank_spark.operators.pagerank import pagerank
@@ -68,7 +68,7 @@ def _pagerank_run(spark, sf_dir):
         if best is None or dt < best:
             best, iters = dt, res.iterations
     g.unpersist()
-    return best, iters, g.num_edges, g.num_adj_rows
+    return best, iters, g.num_edges, g.num_adj_rows, g.salt_buckets
 
 
 def run_suite(spark, sf_dir):
@@ -82,6 +82,7 @@ def run_suite(spark, sf_dir):
     )
     from ps_projekt_pagerank_spark.operators.labelprop import label_propagation
     from ps_projekt_pagerank_spark.operators.pagerank import pagerank_fixed
+    from ps_projekt_pagerank_spark.operators.graph import build_graph
     from ps_projekt_pagerank_spark.operators.similarity import knn_bruteforce
     from ps_projekt_pagerank_spark.operators.triangles import triangles_total
     from ps_projekt_pagerank_spark.sources import derived as D
@@ -103,7 +104,7 @@ def run_suite(spark, sf_dir):
         timings[name] = round(best, 3)
 
     # headline: converged PageRank (iterative phase only)
-    dt, iters, edges, adj_rows = _pagerank_run(spark, sf_dir)
+    dt, iters, edges, adj_rows, salt = _pagerank_run(spark, sf_dir)
     timings["pagerank_converged"] = round(dt, 3)
     extras["pagerank"] = {
         "iterations": iters,
@@ -112,7 +113,29 @@ def run_suite(spark, sf_dir):
         "triple_k": TRIPLE_K,
         "seconds": round(dt, 3),
         "edges_per_sec_per_iter": round(edges * iters / dt, 1),
+        # distribution-derived skew salting (graph.build_graph): 1 on this
+        # near-uniform dst domain is the CORRECT derivation, recorded so
+        # the decision is auditable
+        "salt_buckets": salt,
     }
+
+    # skew path: ~45% of edges share one dst — build_graph must derive
+    # salt_buckets > 1 and the salted two-stage gather must not be slower
+    # than the same job would be at fair-share imbalance
+    gs = build_graph(D.skew_edges(spark, sf_dir))
+    extras["pagerank_skewed"] = {
+        "salt_buckets": gs.salt_buckets,
+        "max_dst_rows": gs.max_dst_rows,
+        "mean_dst_rows": gs.mean_dst_rows,
+        "adj_rows": gs.num_adj_rows,
+    }
+    timed(
+        "pagerank_skew4",
+        lambda: pagerank_fixed(
+            D.skew_edges(spark, sf_dir), 4, graph=gs
+        ).count(),
+    )
+    gs.unpersist()
 
     timed(
         "pagerank_fixed4",
@@ -167,6 +190,7 @@ def main_bench():
         "algorithms + dedup/knn/extraction) at local[%d]" % CPUS,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "n": int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")),
         "queries": timings,
         "sf": _sf_label(SF_DIR),
         **extras,
@@ -178,11 +202,12 @@ def main_pagerank_only(cores: int):
     from ps_projekt_pagerank_spark.session import get_spark
 
     spark = get_spark(f"bench-pr-{cores}", cores=cores, shuffle_partitions=cores)
-    dt, iters, edges, adj_rows = _pagerank_run(spark, SF_DIR)
+    dt, iters, edges, adj_rows, salt = _pagerank_run(spark, SF_DIR)
     print(
         json.dumps(
             {
                 "cores": cores,
+                "n": int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")),
                 "seconds": round(dt, 3),
                 "iterations": iters,
                 "edges": edges,

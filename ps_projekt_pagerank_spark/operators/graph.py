@@ -38,6 +38,9 @@ class GraphTables:
     num_sinks: int
     num_adj_rows: int = 0  # distinct (src,dst) pairs actually iterated
     id_type: str = "long"  # narrow int layout when max id < 2^31
+    salt_buckets: int = 1  # auto-chosen from the in-degree distribution
+    max_dst_rows: int = 0  # adjacency rows into the hottest dst
+    mean_dst_rows: float = 0.0
 
     def unpersist(self) -> None:
         self.nodes.unpersist()
@@ -129,15 +132,41 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    edge_counts = adj.agg(
-        F.sum("w").alias("e"), F.count("*").alias("r")
+    # edge totals + the in-degree distribution in one pass over the
+    # persisted adjacency: per-dst row counts feed the automatic skew-salt
+    # choice (the reference's dynamic-schedule analogue, Graph.cpp:206 —
+    # there a hub is load-balanced by work-stealing; here by splitting the
+    # hot reduce key across salt sub-keys)
+    indeg = adj.groupBy("dst").agg(
+        F.sum("w").alias("wsum"), F.count("*").alias("rows")
+    )
+    edge_counts = indeg.agg(
+        F.sum("wsum").alias("e"),
+        F.sum("rows").alias("r"),
+        F.max("rows").alias("max_dst_rows"),
+        F.count("*").alias("n_dst"),
     ).first()
+    num_adj_rows = int(edge_counts["r"] or 0)
+    max_dst_rows = int(edge_counts["max_dst_rows"] or 0)
+    n_dst = int(edge_counts["n_dst"] or 1)
+    mean_dst_rows = num_adj_rows / max(n_dst, 1)
+    # salt when ONE dst key exceeds a partition's fair share of gather
+    # input AND is a true outlier vs the mean (uniform in-degree graphs
+    # correctly stay unsalted — salting there only adds a second agg);
+    # bucket count = how many fair shares the hottest key spans, capped
+    fair_share = max(num_adj_rows / p, 1.0)
+    salt = 1
+    if max_dst_rows > 8 * mean_dst_rows and max_dst_rows > fair_share:
+        salt = min(16, max(2, -(-max_dst_rows // int(fair_share))))
     return GraphTables(
         nodes=nodes,
         adj=adj,
         num_nodes=int(counts["n"]),
         num_edges=int(edge_counts["e"]),
         num_sinks=int(counts["s"]),
-        num_adj_rows=int(edge_counts["r"]),
+        num_adj_rows=num_adj_rows,
         id_type=id_t,
+        salt_buckets=salt,
+        max_dst_rows=max_dst_rows,
+        mean_dst_rows=round(mean_dst_rows, 2),
     )

@@ -128,12 +128,16 @@ def pagerank(
     damping: float = DAMPING,
     epsilon: float = NORTH_EPSILON,
     max_iterations: int = 1000,
-    salt_buckets: int = 1,
+    salt_buckets: int | None = None,
     checkpointer=None,
     graph: GraphTables | None = None,
     partitions: int | None = None,
 ) -> PageRankResult:
     """Run frozen-node PageRank to convergence.
+
+    ``salt_buckets=None`` (default) engages the bucket count build_graph
+    derived from the in-degree distribution (1 on uniform graphs — see
+    graph.build_graph); pass an int to override.
 
     ``checkpointer`` (sources.checkpoint.IterationCheckpointer) durably
     writes each iteration's rank vector + metrics and enables resume; with
@@ -142,6 +146,8 @@ def pagerank(
     """
     own_graph = graph is None
     g = graph or build_graph(edges, partitions)
+    if salt_buckets is None:
+        salt_buckets = g.salt_buckets
     n = g.num_nodes
     if n == 0:
         return PageRankResult(ranks=g.nodes.select("id", F.lit(0.0).alias("rank")),
@@ -231,14 +237,18 @@ def pagerank_fixed(
     num_iterations: int,
     damping: float = DAMPING,
     graph: GraphTables | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Plain power iteration for exactly ``num_iterations`` sweeps, no
     convergence check / freezing — identical to the reference semantics up
     to the first freeze, and exactly expressible as unrolled ANSI SQL
     (the DuckDB oracle in __spark_entry__ uses the same unrolling).
+    ``salt_buckets`` defaults to build_graph's distribution-derived choice.
     """
     own_graph = graph is None
     g = graph or build_graph(edges)
+    if salt_buckets is None:
+        salt_buckets = g.salt_buckets
     n = g.num_nodes
     state = g.nodes.select(
         F.col("id").cast(g.id_type).alias("id"),
@@ -253,7 +263,8 @@ def pagerank_fixed(
         ).first()
         sink_sum = ((1.0 - damping) + damping * float(row["s"] or 0.0)) / n
         state = _step(
-            state, g.adj, sink_sum, damping, delta=-1.0, salt_buckets=1
+            state, g.adj, sink_sum, damping, delta=-1.0,
+            salt_buckets=salt_buckets,
         ).localCheckpoint(eager=True)  # lineage truncation, see pagerank()
     out = state.select(F.col("id").cast("long").alias("id"), "rank")
     if own_graph:

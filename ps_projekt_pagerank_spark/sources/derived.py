@@ -39,6 +39,15 @@ BLOCK_EDGES_SQL = (
 SPARSE_EDGES_SQL = (
     "SELECT l_orderkey % 4999 AS src, l_partkey % 4999 AS dst FROM lineitem"
 )
+SKEW_EDGES_SQL = (
+    # ~45% of all edges land on dst 0 (l_linenumber is 1-7, skewed low)
+    # from a WIDE src domain, so the hub keeps tens of thousands of
+    # adjacency rows even after the weighted collapse (a narrow src domain
+    # would cap rows-per-dst at |src domain| and absorb the hub for free) —
+    # the fixture for the automatic skew-salt path
+    "SELECT l_orderkey % 99991 AS src, CASE WHEN l_linenumber <= 2 THEN 0 "
+    "ELSE l_partkey % 1400 END AS dst FROM lineitem"
+)
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,6 +76,20 @@ def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         (F.col("l_orderkey") % SPARSE_MOD).alias("src"),
         (F.col("l_partkey") % SPARSE_MOD).alias("dst"),
+    )
+
+
+SKEW_SRC_MOD = 99991
+
+
+def skew_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    return li.select(
+        (F.col("l_orderkey") % SKEW_SRC_MOD).alias("src"),
+        F.when(F.col("l_linenumber") <= 2, F.lit(0))
+        .otherwise(F.col("l_partkey") % WEB_DST_MOD)
+        .cast("long")
+        .alias("dst"),
     )
 
 

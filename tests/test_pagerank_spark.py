@@ -143,3 +143,33 @@ def test_snap_reader_on_reference_fixtures(spark, fname, name):
     rows = read_snap_edges(spark, path).collect()
     got = sorted((r["src"], r["dst"]) for r in rows)
     assert got == sorted(FIXTURE_GRAPHS[name])
+
+
+def test_auto_salt_engages_on_hub_and_matches_unsalted(spark):
+    """build_graph must derive salt_buckets > 1 when one dst holds far more
+    adjacency rows than the mean AND more than a partition's fair share;
+    the salted two-stage gather must reproduce the unsalted ranks. Uniform
+    graphs must stay at 1 (salting there only adds a second agg)."""
+    # star: 4000 distinct sources all pointing at node 0, plus a sparse
+    # uniform background so the mean in-degree stays tiny
+    star = [(i, 0) for i in range(1, 4001)] + [
+        (i, 1 + i % 997) for i in range(1, 4001)
+    ]
+    g = build_graph(edges_from_pairs(spark, star), partitions=8)
+    assert g.salt_buckets > 1, (g.salt_buckets, g.max_dst_rows, g.mean_dst_rows)
+    assert g.max_dst_rows == 4000
+
+    salted = pagerank(None, epsilon=1e-6, max_iterations=50, graph=g)
+    unsalted = pagerank(
+        None, epsilon=1e-6, max_iterations=50, graph=g, salt_buckets=1
+    )
+    a = {r["id"]: r["rank"] for r in salted.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in unsalted.ranks.collect()}
+    assert a.keys() == b.keys()
+    for nid in a:
+        assert math.isclose(a[nid], b[nid], abs_tol=1e-9), nid
+    g.unpersist()
+
+    g_uniform = build_graph(edges_from_pairs(spark, MINI_EDGES))
+    assert g_uniform.salt_buckets == 1
+    g_uniform.unpersist()
