@@ -166,6 +166,28 @@ def run_suite(spark, sf_dir):
     )
     timed("knn_bruteforce", lambda: knn_bruteforce(vecs, queries, 5).count())
 
+    # ANN quality gate: recall@5 of the trained-k-means IVF path vs the
+    # exact answer (the classic IVF trade — fraction of corpus scanned vs
+    # recall — made auditable per round)
+    from ps_projekt_pagerank_spark.operators.similarity import knn_ivf
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(vecs, queries, 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(
+            vecs, queries, 5, num_centroids=8, nprobe=2
+        ).collect()
+    }
+    extras["knn_ivf"] = {
+        "recall_at_5": round(len(approx & exact) / max(len(exact), 1), 3),
+        "num_centroids": 8,
+        "nprobe": 2,
+        "kmeans_iters": 2,
+    }
+
     # Arrow-vectorized text extraction over synthesized html
     docs = D.documents(spark, sf_dir)
     html = F.concat(

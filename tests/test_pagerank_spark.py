@@ -173,3 +173,21 @@ def test_auto_salt_engages_on_hub_and_matches_unsalted(spark):
     g_uniform = build_graph(edges_from_pairs(spark, MINI_EDGES))
     assert g_uniform.salt_buckets == 1
     g_uniform.unpersist()
+
+
+@pytest.mark.parametrize("block", [2, 3, 4])
+def test_multi_sweep_block_parity(spark, block):
+    """block_size must not change iteration counts or ranks — the fused
+    in-plan sink-mass scalars and the reference's per-sweep counting rule
+    (empty sweep counted) must survive blocking."""
+    edges = edges_from_pairs(spark, FIXTURE_GRAPHS["mini"])
+    base = pagerank(edges, epsilon=1e-6, max_iterations=100, block_size=1)
+    blocked = pagerank(
+        edges, epsilon=1e-6, max_iterations=100, block_size=block
+    )
+    assert blocked.iterations == base.iterations
+    a = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in blocked.ranks.collect()}
+    assert a.keys() == b.keys()
+    for nid in a:
+        assert math.isclose(a[nid], b[nid], abs_tol=1e-12), nid
