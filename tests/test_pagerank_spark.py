@@ -191,3 +191,41 @@ def test_multi_sweep_block_parity(spark, block):
     assert a.keys() == b.keys()
     for nid in a:
         assert math.isclose(a[nid], b[nid], abs_tol=1e-12), nid
+
+
+def test_checkpointer_backend_selection(spark, tmp_path):
+    from ps_projekt_pagerank_spark.sources.checkpoint import (
+        IterationCheckpointer,
+        iceberg_catalogs,
+    )
+
+    # the sandbox image ships no Iceberg runtime — detection must say so
+    # (on a deployment with spark.sql.catalog.<name>=SparkCatalog this
+    # returns the catalog names and the table backend activates)
+    assert iceberg_catalogs(spark) == []
+    with pytest.raises(ValueError):
+        IterationCheckpointer()
+    with pytest.raises(ValueError):
+        IterationCheckpointer(base_dir=str(tmp_path), table="ice.db.t")
+
+
+def test_checkpointer_iceberg_roundtrip(spark, tmp_path):
+    """Runs only where an Iceberg catalog is wired (real deployments);
+    exercises create-on-first-write, append, max(iter) resume and the
+    metrics table."""
+    from ps_projekt_pagerank_spark.sources.checkpoint import (
+        IterationCheckpointer,
+        iceberg_catalogs,
+    )
+
+    cats = iceberg_catalogs(spark)
+    if not cats:
+        pytest.skip("no Iceberg catalog on this session")
+    table = f"{cats[0]}.default.pr_ck_test"
+    cp = IterationCheckpointer(table=table)
+    edges = edges_from_pairs(spark, FIXTURE_GRAPHS["mini"])
+    res = pagerank(edges, epsilon=1e-6, max_iterations=5, checkpointer=cp)
+    k, df = cp.latest(spark)
+    assert k == res.iterations or k == res.iterations - 1
+    assert set(df.columns) >= {"id", "rank", "active"}
+    assert len(cp.metrics()) >= 1

@@ -9,6 +9,15 @@
 #
 # On a real cluster set MASTER (and executor sizing via SPARK_SUBMIT_OPTS or
 # extra args after --).
+#
+# Iceberg checkpointing (sources/checkpoint.py table backend) needs the
+# runtime jars + a catalog, e.g.:
+#   --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+#   --conf spark.sql.catalog.ice=org.apache.iceberg.spark.SparkCatalog \
+#   --conf spark.sql.catalog.ice.type=hadoop \
+#   --conf spark.sql.catalog.ice.warehouse=<path>
+# tests/test_pagerank_spark.py::test_checkpointer_iceberg_roundtrip then
+# un-skips and exercises the append/resume path.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
