@@ -98,6 +98,34 @@ def _q_pagerank_converged_top20(spark, sf_dir):
     return r.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
 
+def _q_hits4(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.hits import hits
+
+    return hits(D.web_edges(spark, sf_dir), iterations=4).select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+_PPR_SEEDS = [0, 1, 2, 3, 4]
+
+
+def _q_ppr_fixed4(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.pagerank import (
+        pagerank_personalized_fixed,
+    )
+
+    r = pagerank_personalized_fixed(
+        D.web_edges(spark, sf_dir), seeds=_PPR_SEEDS, num_iterations=4
+    )
+    return r.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _q_degree_dist(spark, sf_dir):
+    from ps_projekt_pagerank_spark.plans.reporting import degree_distribution
+
+    return degree_distribution(D.web_edges(spark, sf_dir))
+
+
 def _q_components(spark, sf_dir):
     return connected_components(D.block_edges(spark, sf_dir))
 
@@ -327,6 +355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_total_rank": _q_pagerank_total,
         "r3_pagerank_top10": _q_pagerank_top10,
         "p_pagerank_converged_top20": _q_pagerank_converged_top20,
+        "hits4": _q_hits4,
+        "ppr_fixed4": _q_ppr_fixed4,
+        "r_degree_dist": _q_degree_dist,
         "cc_components": _q_components,
         "cc_star_components": _q_components_star,
         "lp_labels": _q_labelprop,
@@ -419,6 +450,39 @@ def _pagerank_fixed_sql(num_iterations: int) -> str:
             f"FROM nodes LEFT JOIN c{k} ON nodes.id = c{k}.id)"
         )
     return ",\n".join(parts) + f"\nSELECT id, round(rank, 9) AS rank FROM r{num_iterations}"
+
+
+def _ppr_fixed_sql(seeds: list[int], num_iterations: int) -> str:
+    """Unrolled personalized-PageRank twin of pagerank_personalized_fixed:
+    teleport AND sink mass flow only to the seed set (tele = 1/|S|)."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    ts = 1.0 / len(seeds)
+    d = DAMPING
+    parts = [
+        f"WITH e AS ({_WEB})",
+        "w AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e "
+        "GROUP BY src, dst)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
+        f"tele AS (SELECT id, CASE WHEN id IN ({seed_list}) THEN {ts} "
+        f"ELSE 0.0 END AS t FROM nodes)",
+        "r0 AS (SELECT id, t AS rank FROM tele)",
+    ]
+    for k in range(num_iterations):
+        parts += [
+            f"s{k} AS (SELECT (1 - {d}) + {d} * COALESCE(sum(rank), 0) AS rs "
+            f"FROM r{k} WHERE id NOT IN (SELECT id FROM deg))",
+            f"c{k} AS (SELECT w.dst AS id, sum(w.w * r.rank / d.outdeg) AS "
+            f"contrib FROM w JOIN r{k} r ON w.src = r.id "
+            f"JOIN deg d ON w.src = d.id GROUP BY w.dst)",
+            f"r{k + 1} AS (SELECT tele.id, (SELECT rs FROM s{k}) * tele.t + "
+            f"{d} * COALESCE(c{k}.contrib, 0) AS rank "
+            f"FROM tele LEFT JOIN c{k} ON tele.id = c{k}.id)",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT id, round(rank, 9) AS rank FROM r{num_iterations}"
+    )
 
 
 def _kmeans_cents_ctes(num_centroids: int, iters: int) -> tuple[list[str], str]:
@@ -526,6 +590,19 @@ def oracle_sql() -> dict[str, str]:
     sqls["r3_pagerank_top10"] = (
         f"SELECT id, rank FROM ({_pagerank_fixed_sql(4)}) "
         f"ORDER BY rank DESC, id ASC LIMIT 10"
+    )
+    from ps_projekt_pagerank_spark.operators.hits import hits_sql
+
+    sqls["hits4"] = hits_sql(_WEB, 4)
+    sqls["ppr_fixed4"] = _ppr_fixed_sql(_PPR_SEEDS, 4)
+    sqls["r_degree_dist"] = (
+        f"WITH e AS ({_WEB}), "
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e)), "
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src) "
+        "SELECT outdeg, count(*) AS n_nodes FROM (SELECT "
+        "coalesce(deg.outdeg, 0) AS outdeg FROM nodes "
+        "LEFT JOIN deg ON nodes.id = deg.id) GROUP BY outdeg"
     )
     sqls["cc_components"] = (
         f"WITH RECURSIVE e AS ({_BLOCK}), "

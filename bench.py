@@ -153,6 +153,13 @@ def run_suite(spark, sf_dir):
         "triangles",
         lambda: triangles_total(D.sparse_edges(spark, sf_dir)).collect(),
     )
+
+    from ps_projekt_pagerank_spark.operators.hits import hits
+
+    timed(
+        "hits4",
+        lambda: hits(D.web_edges(spark, sf_dir), iterations=4).count(),
+    )
     timed(
         "dedup_minhash_pairs",
         lambda: minhash_lsh_pairs(
@@ -277,21 +284,23 @@ def main_scaling():
     rn, r4n = best[cores_pair[0]], best[cores_pair[1]]
     eff = (rn["seconds"] / r4n["seconds"]) / 4
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # APPEND a dated session block — host CPU steal varies several-fold
+    # between sessions, so history is the evidence, not any single run
+    # (the file's hand-written header explains how to read it and names
+    # the best same-session pair; update that line when a session beats it)
+    import datetime
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            "# BENCH/BASELINE — two-parallelism scaling run (north rule)\n\n"
-            "Same job (converged frozen-node PageRank, d=0.85, eps=1e-6, "
-            "derived web graph tripled %dx with the reference's prepleti "
-            "scale-up generator), same input (`%s`), two parallelism levels "
-            "— the sandbox proxy for N vs 4N executors per BASELINE.md. "
-            "Each level ran %d time(s); the fastest run counts (this VM has "
-            "time-varying CPU steal — `tools/cpu_probe.py` measures "
-            "single-digit effective cores in bad moments on a 32-vCPU box — "
-            "so min-of-repeats estimates engine capability, not host "
-            "weather).\n\n"
+            "\n## Session %s — tripled %dx, %s, %d repeat(s)/level, "
+            "efficiency (T_%d/T_%d)/4 = %.3f\n\n"
             "| config | wall sec (iterative phase) | iterations | edges | "
             "adj rows | edges/sec/iteration |\n|---|---|---|---|---|---|\n"
-            % (3 ** int(scale_k), SF_DIR, repeats)
+            % (
+                stamp, 3 ** int(scale_k), SF_DIR, repeats,
+                cores_pair[0], cores_pair[1], eff,
+            )
         )
         for r in all_runs:
             f.write(
@@ -301,14 +310,6 @@ def main_scaling():
                     r["adj_rows"], r["edges_per_sec_per_iter"],
                 )
             )
-        f.write(
-            "\nScaling efficiency (T_%d/T_%d)/4 = **%.3f** over best runs "
-            "(north-rule target ≥ 0.8 — see BASELINE.md; a single-JVM "
-            "local-mode proxy shares one memory system and includes fixed "
-            "per-iteration driver latency that a real 4x-executor cluster "
-            "amortizes, so this under-states cluster scaling).\n"
-            % (cores_pair[0], cores_pair[1], eff)
-        )
     print(json.dumps({"scaling_efficiency": round(eff, 3), "best": list(best.values()), "runs": all_runs}))
 
 

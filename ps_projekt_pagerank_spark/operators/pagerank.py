@@ -301,6 +301,81 @@ def pagerank(
     return PageRankResult(ranks=ranks, iterations=iterations, metrics=metrics)
 
 
+def pagerank_personalized_fixed(
+    edges: DataFrame,
+    seeds: list[int],
+    num_iterations: int,
+    damping: float = DAMPING,
+    graph: GraphTables | None = None,
+) -> DataFrame:
+    """Personalized PageRank, fixed sweeps (north-rule extension; the
+    reference computes only the global variant — personalization changes
+    Graph.cpp:124-128's uniform init/teleport into a seed-restricted one,
+    everything else is the same sweep).
+
+    Teleport vector tele(v) = 1/|seeds| for seed nodes, else 0; both the
+    (1-d) restart mass and the redistributed sink mass flow to the seeds:
+
+        rank0 = tele
+        rank'(v) = ((1-d) + d·Σ_sinks rank) · tele(v) + d·Σ contribs(v)
+
+    Exactly ``num_iterations`` synchronous sweeps — unrollable as ANSI SQL
+    (the DuckDB twin in __spark_entry__ replays it). Same scale shape as
+    pagerank_fixed: build-once adjacency, |V|-row state per sweep.
+    """
+    own_graph = graph is None
+    g = graph or build_graph(edges)
+    tele = F.when(
+        F.col("id").isin([int(x) for x in seeds]),
+        F.lit(1.0 / len(seeds)),
+    ).otherwise(F.lit(0.0))
+    state = g.nodes.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("outdeg").cast("long").alias("outdeg"),
+        "is_sink",
+        tele.alias("tele"),
+        tele.alias("rank"),
+    ).localCheckpoint(eager=True)
+    adj = g.adj.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("w").cast("double").alias("w"),
+    )
+    for _ in range(num_iterations):
+        row = state.agg(
+            F.sum(
+                F.when(F.col("is_sink"), F.col("rank")).otherwise(0.0)
+            ).alias("s")
+        ).first()
+        restart = (1.0 - damping) + damping * float(row["s"] or 0.0)
+        ranks_src = state.select(
+            F.col("id").alias("src"), "rank", F.col("outdeg").alias("od")
+        ).where(F.col("od") > 0)
+        gathered = (
+            adj.join(ranks_src, "src")
+            .groupBy(F.col("dst").alias("gid"))
+            .agg(F.sum(F.col("w") * F.col("rank") / F.col("od")).alias("contrib"))
+        )
+        state = (
+            state.join(gathered, state["id"] == gathered["gid"], "left")
+            .select(
+                "id",
+                "outdeg",
+                "is_sink",
+                "tele",
+                (
+                    F.lit(restart) * F.col("tele")
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # lineage truncation per sweep
+        )
+    out = state.select("id", "rank")
+    if own_graph:
+        g.unpersist()
+    return out
+
+
 def pagerank_fixed(
     edges: DataFrame,
     num_iterations: int,

@@ -54,3 +54,24 @@ def order_agreement(ranks_a: DataFrame, ranks_b: DataFrame) -> float:
         F.avg((F.col("id_a") == F.col("id_b")).cast("double")).alias("agree")
     ).first()
     return float(row["agree"] or 0.0)
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """(outdeg LONG, n_nodes LONG) — how many nodes have each out-degree,
+    including the outdeg=0 sinks (north-rule extension: the first sanity
+    report any web-graph pipeline runs — power-law shape check). Two hash
+    aggs with map-side combine; output is at most |distinct degrees| rows."""
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(
+            edges.groupBy(F.col("src").alias("id")).agg(
+                F.count("*").alias("outdeg")
+            ),
+            "id",
+            "left",
+        )
+        .select(F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+    )
+    return deg.groupBy("outdeg").agg(F.count("*").alias("n_nodes"))

@@ -14,6 +14,7 @@ import sys
 
 sys.path.insert(0, ".")
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from ps_projekt_pagerank_spark import NORTH_EPSILON  # noqa: E402
@@ -82,6 +83,47 @@ def main():
         "The pair join keys on (band, band_val) — bucket-local. No "
         "cartesian product may appear anywhere in the plan.",
         formatted(dd.minhash_lsh_pairs(docs)),
+    ))
+
+    # 5. embedding near-dup: IVF-cell candidates, no cartesian product
+    sections.append((
+        "embedding near-dup (IVF-bucketed)",
+        "Candidate pairs come from an equi-join on the IVF cell; the only "
+        "non-equi joins are K-row broadcast centroid assignments "
+        "(BroadcastNestedLoopJoin with the tiny side broadcast). "
+        "CartesianProduct must NOT appear (the round-1 all-pairs plan is "
+        "gone).",
+        formatted(
+            dd.embedding_neardup_pairs(D.embeddings(spark, sf_dir), 0.35)
+        ),
+    ))
+
+    # 6. url->id dictionary: no single-partition global window
+    from ps_projekt_pagerank_spark.sources.extraction import url_dictionary
+
+    pages = D.documents(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(b"<p>x</p>").alias("html"),
+    )
+    sections.append((
+        "url->id dictionary encoding",
+        "Window must be partitioned by pid (range-partition bucket), "
+        "never a global `Window [orderBy]` with no PARTITION BY — ids "
+        "come from per-partition row_number + driver-side offsets. "
+        "(Plan shown pre-checkpoint; the checkpoint pins partitioning "
+        "for the offset join.)",
+        formatted(
+            pages.select("url").distinct()
+            .repartitionByRange(8, "url")
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn(
+                "local_idx",
+                F.row_number().over(
+                    Window.partitionBy("pid").orderBy("url")
+                ),
+            )
+        ) + "\n-- full operator output (post-offset join):\n"
+        + formatted(url_dictionary(pages, partitions=8)),
     ))
 
     with open("PLANS.md", "w") as f:
