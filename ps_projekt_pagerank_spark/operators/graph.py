@@ -47,6 +47,21 @@ class GraphTables:
         self.adj.unpersist()
 
 
+def derive_salt_buckets(
+    num_adj_rows: int, max_dst_rows: int, n_dst: int, partitions: int
+) -> int:
+    """Skew-salt choice from the in-degree distribution: salt when ONE dst
+    key exceeds a partition's fair share of gather input AND is a true
+    outlier vs the mean (uniform graphs correctly stay unsalted — salting
+    there only adds a second agg); bucket count = how many fair shares the
+    hottest key spans, capped."""
+    mean_dst_rows = num_adj_rows / max(n_dst, 1)
+    fair_share = max(num_adj_rows / partitions, 1.0)
+    if max_dst_rows > 8 * mean_dst_rows and max_dst_rows > fair_share:
+        return min(16, max(2, -(-max_dst_rows // int(fair_share))))
+    return 1
+
+
 def node_ids(edges: DataFrame) -> DataFrame:
     """G1 — distinct node ids appearing in the edge list."""
     return (
@@ -149,15 +164,7 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
     num_adj_rows = int(edge_counts["r"] or 0)
     max_dst_rows = int(edge_counts["max_dst_rows"] or 0)
     n_dst = int(edge_counts["n_dst"] or 1)
-    mean_dst_rows = num_adj_rows / max(n_dst, 1)
-    # salt when ONE dst key exceeds a partition's fair share of gather
-    # input AND is a true outlier vs the mean (uniform in-degree graphs
-    # correctly stay unsalted — salting there only adds a second agg);
-    # bucket count = how many fair shares the hottest key spans, capped
-    fair_share = max(num_adj_rows / p, 1.0)
-    salt = 1
-    if max_dst_rows > 8 * mean_dst_rows and max_dst_rows > fair_share:
-        salt = min(16, max(2, -(-max_dst_rows // int(fair_share))))
+    salt = derive_salt_buckets(num_adj_rows, max_dst_rows, n_dst, p)
     return GraphTables(
         nodes=nodes,
         adj=adj,
@@ -168,5 +175,5 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
         id_type=id_t,
         salt_buckets=salt,
         max_dst_rows=max_dst_rows,
-        mean_dst_rows=round(mean_dst_rows, 2),
+        mean_dst_rows=round(num_adj_rows / max(n_dst, 1), 2),
     )

@@ -139,8 +139,15 @@ def pagerank(
     graph: GraphTables | None = None,
     partitions: int | None = None,
     block_size: int = 1,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run frozen-node PageRank to convergence.
+
+    ``init_ranks`` (id, rank) warm-starts the iteration — the incremental
+    path after small graph updates: ranks from the previous run are close
+    to the new fixed point, so convergence takes a fraction of the cold
+    1/N-start sweeps (tested). Nodes absent from ``init_ranks`` (newly
+    discovered pages) start at 1/N; all nodes start active.
 
     ``salt_buckets=None`` (default) engages the bucket count build_graph
     derived from the in-degree distribution (1 on uniform graphs — see
@@ -174,13 +181,30 @@ def pagerank(
     # loop state mirrors the adjacency's (possibly int32) id layout so the
     # per-iteration scatter join keys match without casts; the public
     # result schema is cast back to LongType at the end
-    state = g.nodes.select(
-        F.col("id").cast(g.id_type).alias("id"),
-        F.col("outdeg").cast(g.id_type).alias("outdeg"),
-        "is_sink",
-        F.lit(1.0 / n).alias("rank"),
-        F.lit(True).alias("active"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if init_ranks is not None:
+        init = init_ranks.select(
+            F.col("id").cast(g.id_type).alias("iid"),
+            F.col("rank").alias("init_rank"),
+        )
+        state = (
+            g.nodes.join(init, g.nodes["id"] == init["iid"], "left")
+            .select(
+                F.col("id").cast(g.id_type).alias("id"),
+                F.col("outdeg").cast(g.id_type).alias("outdeg"),
+                "is_sink",
+                F.coalesce("init_rank", F.lit(1.0 / n)).alias("rank"),
+                F.lit(True).alias("active"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        state = g.nodes.select(
+            F.col("id").cast(g.id_type).alias("id"),
+            F.col("outdeg").cast(g.id_type).alias("outdeg"),
+            "is_sink",
+            F.lit(1.0 / n).alias("rank"),
+            F.lit(True).alias("active"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
     start_iter = 0
     if checkpointer is not None:

@@ -1,0 +1,73 @@
+"""Warm-start (incremental) PageRank + the bucketed graph store."""
+
+import contextlib
+import io
+
+from ps_projekt_pagerank_spark.fixtures import FIXTURE_GRAPHS, tripled_k
+from ps_projekt_pagerank_spark.operators.graph import build_graph
+from ps_projekt_pagerank_spark.operators.pagerank import pagerank
+from ps_projekt_pagerank_spark.sources.bucketed import load_graph, save_graph
+from tests.test_pagerank_spark import edges_from_pairs
+
+
+def test_warm_start_converges_faster(spark):
+    """After a small graph update, starting from the previous ranks must
+    reach the fixed point in fewer sweeps than a cold 1/N start, and land
+    on (approximately) the same ranks — the incremental re-rank path for
+    a continuously crawled graph."""
+    # tripled small graph (~306 edges): the 2-edge update is then a <1%
+    # perturbation — the regime warm-starting serves; on a graph where 2
+    # edges are a 6% rewrite the head start is (measurably) worthless
+    base = tripled_k(FIXTURE_GRAPHS["small"], 2)
+    cold = pagerank(edges_from_pairs(spark, base), epsilon=1e-9)
+
+    updated = list(base) + [(0, 7), (3, 9)]
+    e2 = edges_from_pairs(spark, updated)
+    cold2 = pagerank(e2, epsilon=1e-9)
+    warm = pagerank(e2, epsilon=1e-9, init_ranks=cold.ranks)
+
+    assert warm.iterations < cold2.iterations, (
+        warm.iterations, cold2.iterations
+    )
+    a = {r["id"]: r["rank"] for r in cold2.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    assert a.keys() == b.keys()
+    for nid in a:
+        # frozen-node freezing is trajectory-dependent (a node can freeze
+        # the sweep its delta dips under eps, then never correct — the
+        # reference's own premature-freeze semantics), so warm and cold
+        # agree to the perturbation scale, not to eps (observed ~2e-4)
+        assert abs(a[nid] - b[nid]) < 1e-3, nid
+
+
+def test_bucketed_store_roundtrip_and_no_exchange(spark):
+    """save_graph/load_graph must reproduce the graph (same counts, same
+    converged ranks) AND the persisted bucket layout must carry into
+    plans: a src-keyed aggregation over the loaded adjacency runs with NO
+    Exchange — the shuffle the store amortizes away across sessions."""
+    edges = edges_from_pairs(spark, FIXTURE_GRAPHS["small"])
+    g = build_graph(edges)
+    try:
+        save_graph(g, "t_bucketed_graph", buckets=4)
+        g2 = load_graph(spark, "t_bucketed_graph")
+        assert (g2.num_nodes, g2.num_edges, g2.num_sinks) == (
+            g.num_nodes, g.num_edges, g.num_sinks
+        )
+        plan_df = g2.adj.groupBy("src").count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+
+        a = {r["id"]: r["rank"] for r in pagerank(None, graph=g).ranks.collect()}
+        b = {r["id"]: r["rank"] for r in pagerank(None, graph=g2).ranks.collect()}
+        assert a.keys() == b.keys()
+        for nid in a:
+            assert abs(a[nid] - b[nid]) < 1e-12, nid
+        g2.unpersist()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_graph")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_graph_nodes")
+        g.unpersist()
