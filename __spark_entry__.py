@@ -420,12 +420,13 @@ def _minhash_sigs_sql(docs_expr: str) -> str:
     return f"SELECT doc_id, {aggs} FROM ({_toks_sql(docs_expr)}) GROUP BY doc_id"
 
 
-def _pagerank_fixed_sql(num_iterations: int) -> str:
+def _pagerank_fixed_sql(num_iterations: int, edges_sql: str | None = None) -> str:
     """Unrolled power iteration — the exact SQL twin of pagerank_fixed
     (same init, sink-mass redistribution, left-join coalesce for no-inlink
-    nodes)."""
+    nodes). ``edges_sql`` defaults to the derived web graph; the flagship
+    end-to-end twin passes the extraction CTE instead."""
     parts = [
-        f"WITH e AS ({_WEB})",
+        f"WITH e AS ({edges_sql or _WEB})",
         "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
         "UNION ALL SELECT dst AS id FROM e))",
         "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
@@ -450,6 +451,48 @@ def _pagerank_fixed_sql(num_iterations: int) -> str:
             f"FROM nodes LEFT JOIN c{k} ON nodes.id = c{k}.id)"
         )
     return ",\n".join(parts) + f"\nSELECT id, round(rank, 9) AS rank FROM r{num_iterations}"
+
+
+def _pagerank_frozen_sql(num_sweeps: int) -> str:
+    """Unrolled FROZEN-NODE PageRank — the SQL twin of the converged gate
+    query (operators.pagerank.pagerank, eps=1e-6). Each sweep carries the
+    per-node ``active`` flag as a CASE column: frozen nodes keep their
+    committed rank (but still contribute to scatter and sink mass, exactly
+    like Graph.cpp:135-155), and a node freezes when |new-old| < eps.
+    The sf0.01 gate graph converges in 5 sweeps (NumPy-oracle-verified);
+    ``num_sweeps`` adds margin — once every node is frozen a sweep is the
+    identity, so over-unrolling cannot change the result."""
+    d = DAMPING
+    eps = NORTH_EPSILON
+    parts = [
+        f"WITH e AS MATERIALIZED ({_WEB})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id "
+        "FROM e UNION ALL SELECT dst AS id FROM e))",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e "
+        "GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank, "
+        "TRUE AS active FROM nodes)",
+    ]
+    for k in range(num_sweeps):
+        parts += [
+            f"s{k} AS MATERIALIZED (SELECT ((1 - {d}) + {d} * "
+            f"COALESCE(sum(rank), 0)) / (SELECT n FROM nn) AS ss FROM r{k} "
+            f"WHERE id NOT IN (SELECT id FROM deg))",
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"sum(r.rank / d.outdeg) AS contrib FROM e JOIN r{k} r "
+            f"ON e.src = r.id JOIN deg d ON e.src = d.id GROUP BY e.dst)",
+            f"r{k + 1} AS MATERIALIZED (SELECT id, "
+            f"CASE WHEN active THEN newr ELSE rank END AS rank, "
+            f"active AND abs(newr - rank) >= {eps} AS active FROM ("
+            f"SELECT n.id, r.rank, r.active, (SELECT ss FROM s{k}) + {d} * "
+            f"COALESCE(c.contrib, 0) AS newr FROM nodes n "
+            f"JOIN r{k} r ON r.id = n.id LEFT JOIN c{k} c ON n.id = c.id))",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT id, round(rank, 6) AS rank FROM r{num_sweeps} "
+        f"ORDER BY rank DESC, id ASC LIMIT 20"
+    )
 
 
 def _ppr_fixed_sql(seeds: list[int], num_iterations: int) -> str:
@@ -583,6 +626,9 @@ def oracle_sql() -> dict[str, str]:
         f"UNION ALL SELECT m.m + src + 1 AS src, m.m + dst AS dst FROM e, m"
     )
     sqls["p_pagerank_fixed4"] = _pagerank_fixed_sql(4)
+    # 5 sweeps to convergence on the sf0.01 gate graph + 3 identity-sweep
+    # margin (frozen state makes extra sweeps no-ops)
+    sqls["p_pagerank_converged_top20"] = _pagerank_frozen_sql(8)
     sqls["r1_total_rank"] = (
         f"SELECT round(sum(rank), 6) AS total_rank FROM "
         f"({_pagerank_fixed_sql(4)})"
