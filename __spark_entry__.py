@@ -211,12 +211,14 @@ def _q_token_jaccard(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    # xxhash64-based — Spark-only hash, no SQL twin; rows-only check
-    return dd.simhash64(D.documents(spark, sf_dir).select("doc_id", "text"))
+    # md5-bit-source variant (engine-portable) so the DuckDB twin replays
+    # the fingerprint bit-for-bit; the xxhash64 variant (simhash64) stays
+    # the fast default and is pytest-covered vs the NumPy oracle
+    return dd.simhash_hex(D.documents(spark, sf_dir).select("doc_id", "text"))
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    return dd.simhash_near_pairs(
+    return dd.simhash_near_pairs_hex(
         _docs_with_dups(spark, sf_dir), max_hamming=3
     ).select("id_a", "id_b")
 
@@ -576,6 +578,53 @@ def _ivf_assign_ctes(cents: str, nprobe: int) -> list[str]:
     ]
 
 
+_HEXD = "'0123456789abcdef'"
+
+
+def _simhash_hex_sql(docs_expr: str) -> str:
+    """Twin of dedup.simhash_hex: md5-nibble bit votes → 16-char hex
+    fingerprint. Bit i of a token = ((nibble i//4 of md5) >> (i%4)) & 1."""
+    votes = ", ".join(
+        f"sum(CASE WHEN ((strpos({_HEXD}, substr(md5(tok), {i // 4 + 1}, 1))"
+        f" - 1) >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    chars = " || ".join(
+        f"substr({_HEXD}, "
+        + " + ".join(
+            f"(CASE WHEN b{4 * j + k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(4)
+        )
+        + " + 1, 1)"
+        for j in range(16)
+    )
+    return (
+        f"WITH toks AS ({_toks_sql(docs_expr)}), "
+        f"votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id) "
+        f"SELECT doc_id, {chars} AS simhash FROM votes"
+    )
+
+
+def _simhash_pairs_sql(docs_expr: str, max_hamming: int) -> str:
+    """Twin of dedup.simhash_near_pairs_hex: 16-bit quadrant buckets,
+    nibble-wise hamming."""
+    def nib(side: str, j: int) -> str:
+        return f"(strpos({_HEXD}, substr({side}.simhash, {j + 1}, 1)) - 1)"
+
+    ham = " + ".join(
+        f"bit_count(xor({nib('a', j)}, {nib('b', j)}))" for j in range(16)
+    )
+    return (
+        f"WITH sh AS MATERIALIZED ({_simhash_hex_sql(docs_expr)}), "
+        "quads AS (SELECT doc_id, simhash, q.quad, "
+        "substr(simhash, q.quad * 4 + 1, 4) AS qval FROM sh, "
+        "(VALUES (0), (1), (2), (3)) q(quad)) "
+        f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM quads a JOIN quads b ON a.quad = b.quad AND a.qval = b.qval "
+        f"AND a.doc_id < b.doc_id WHERE ({ham}) <= {max_hamming}"
+    )
+
+
 def _label_prop_sql(rounds: int) -> str:
     """Unrolled synchronous label propagation — the exact SQL twin of
     operators.labelprop.label_propagation (dedup'd undirected neighbors,
@@ -723,6 +772,10 @@ def oracle_sql() -> dict[str, str]:
         "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b) "
         "WHERE jaccard >= 0.5"
     )
+    sqls["dedup_simhash"] = _simhash_hex_sql(
+        "SELECT doc_id, text FROM documents"
+    )
+    sqls["dedup_simhash_pairs"] = _simhash_pairs_sql(_DOCS_DUPS, 3)
     # IVF-bucketed twin (k-means cells, nprobe 2) — replays
     # dd.embedding_neardup_pairs' candidate generation exactly; never
     # all-pairs (the Spark plan has no cartesian join either)

@@ -233,6 +233,100 @@ def simhash_near_pairs(
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
+def _md5_nibble(hex_col, j: int) -> Column:
+    """Nibble j (0-based, 0..15) of a hex string column as INT 0..15."""
+    return F.conv(F.substring(hex_col, j + 1, 1), 16, 10).cast("int")
+
+
+def simhash_hex(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash CHAR(16) hex) — SimHash with an md5 bit source.
+
+    Engine-portable twin of ``simhash64``: per-token bits come from the
+    first 16 nibbles of md5(token) instead of xxhash64 (Spark-only), and
+    the fingerprint is emitted as a 16-char hex STRING (a 64-bit LONG would
+    need ``1 << 63``, which overflows ANSI BIGINT). Same vote/majority
+    semantics; the DuckDB oracle replays it bit-for-bit. xxhash64 stays the
+    fast default for production paths — this variant exists so the
+    correctness gate can hash-compare the operator across engines."""
+    toks = _doc_tokens(docs, text_col).select(
+        "doc_id", F.md5(F.col("tok").cast("binary")).alias("h")
+    )
+    nibs = toks.select(
+        "doc_id", *[_md5_nibble("h", j).alias(f"n{j}") for j in range(16)]
+    )
+    bit_votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"n{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = nibs.groupBy("doc_id").agg(*bit_votes)
+    chars = []
+    for j in range(16):
+        val = sum(
+            (
+                F.when(F.col(f"b{4 * j + k}") > 0, F.lit(1 << k)).otherwise(
+                    F.lit(0)
+                )
+            )
+            for k in range(4)
+        )
+        # 0..15 -> hex char; conv(10->16) yields uppercase A-F, lower() it
+        chars.append(F.lower(F.conv(val.cast("string"), 10, 16)))
+    return votes.select("doc_id", F.concat(*chars).alias("simhash"))
+
+
+def simhash_near_pairs_hex(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(id_a, id_b, hamming) — quadrant-bucketed near pairs over the
+    md5-variant hex fingerprints (same pigeonhole guarantee as
+    simhash_near_pairs: a pair ≤3 bits apart shares ≥1 of 4 quadrants).
+    Hamming is summed nibble-wise (bit_count of per-nibble xor), identical
+    arithmetic in any ANSI engine."""
+    sh = simhash_hex(docs, text_col)
+    quads = None
+    for q in range(4):
+        one = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(q).alias("quad"),
+            F.substring("simhash", q * 4 + 1, 4).alias("qval"),
+        )
+        quads = one if quads is None else quads.unionAll(one)
+    a = quads.select(
+        "quad", "qval", F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("fa"),
+    )
+    b = quads.select(
+        F.col("quad").alias("quad2"),
+        F.col("qval").alias("qval2"),
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("fb"),
+    )
+    ham = sum(
+        F.bit_count(
+            _md5_nibble("fa", j).bitwiseXOR(_md5_nibble("fb", j))
+        )
+        for j in range(16)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("quad") == F.col("quad2"))
+            & (F.col("qval") == F.col("qval2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
 def embedding_neardup_pairs(
     vecs: DataFrame,
     threshold: float,
