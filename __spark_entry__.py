@@ -248,14 +248,16 @@ def _q_knn_ivf(spark, sf_dir):
 
 
 def _q_knn_lsh(spark, sf_dir):
-    # LSH-bucketed ANN — xxhash64 hyperplanes, Spark-only; rows-only check
+    # md5-derived literal hyperplanes (engine-portable) so the DuckDB twin
+    # replays the buckets exactly; the xxhash64 planes stay the fast
+    # default and are pytest-covered
     vecs = D.embeddings(spark, sf_dir)
     queries = vecs.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return sim.knn_lsh(vecs, queries, k=5, num_bits=4).select(
-        "query_id", "neighbor_id", "knn_rank"
-    )
+    return sim.knn_lsh(
+        vecs, queries, k=5, num_bits=4, planes=sim.md5_planes(4, 64)
+    ).select("query_id", "neighbor_id", "knn_rank")
 
 
 def _q_token_stats(spark, sf_dir):
@@ -625,6 +627,43 @@ def _simhash_pairs_sql(docs_expr: str, max_hamming: int) -> str:
     )
 
 
+def _knn_lsh_sql(num_bits: int, dim: int, k: int) -> str:
+    """Twin of similarity.knn_lsh(planes=md5_planes(...)): the same literal
+    hyperplanes, per-plane dot rounded to 6 dp before the sign, bucket
+    equi-join, cosine top-k ranked by (score desc, neighbor asc)."""
+    planes = sim.md5_planes(num_bits, dim)
+    plane_rows = " UNION ALL ".join(
+        f"SELECT {b} AS b, [{', '.join(repr(c) for c in row)}] AS pl"
+        for b, row in enumerate(planes)
+    )
+    return (
+        f"WITH planes AS ({plane_rows}), "
+        "pcomp AS (SELECT e.vec_id, p.b, CAST(unnest(e.embedding) AS DOUBLE)"
+        " AS x, unnest(p.pl) AS y FROM embeddings e, planes p), "
+        "dots AS (SELECT vec_id, b, round(sum(x*y), 6) AS d FROM pcomp "
+        "GROUP BY vec_id, b), "
+        "buckets AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << b) "
+        "ELSE 0 END) AS BIGINT) AS bucket FROM dots GROUP BY vec_id), "
+        "q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, bk.bucket AS "
+        "qb FROM embeddings e JOIN buckets bk ON bk.vec_id = e.vec_id "
+        "WHERE e.vec_id < 3), "
+        "pr AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, "
+        "c.embedding AS cv FROM q JOIN buckets cb ON cb.bucket = q.qb "
+        "JOIN embeddings c ON c.vec_id = cb.vec_id "
+        "WHERE c.vec_id <> q.query_id), "
+        "comps AS (SELECT query_id, neighbor_id, CAST(unnest(qv) AS DOUBLE) "
+        "AS x, CAST(unnest(cv) AS DOUBLE) AS y FROM pr), "
+        "scored AS (SELECT query_id, neighbor_id, round(sum(x*y) / "
+        "(sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score FROM comps "
+        "GROUP BY query_id, neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "
+        "knn_rank FROM scored) "
+        f"SELECT query_id, neighbor_id, knn_rank FROM ranked "
+        f"WHERE knn_rank <= {k}"
+    )
+
+
 def _label_prop_sql(rounds: int) -> str:
     """Unrolled synchronous label propagation — the exact SQL twin of
     operators.labelprop.label_propagation (dedup'd undirected neighbors,
@@ -776,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text FROM documents"
     )
     sqls["dedup_simhash_pairs"] = _simhash_pairs_sql(_DOCS_DUPS, 3)
+    sqls["knn_lsh_top5"] = _knn_lsh_sql(4, 64, 5)
     # IVF-bucketed twin (k-means cells, nprobe 2) — replays
     # dd.embedding_neardup_pairs' candidate generation exactly; never
     # all-pairs (the Spark plan has no cartesian join either)

@@ -20,10 +20,12 @@ deterministic and engine-comparable.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot
 
 
 def knn_bruteforce(
@@ -85,16 +87,63 @@ def _hyperplane_sign_bits(vec_col: str, num_bits: int) -> F.Column:
     return bucket
 
 
+def md5_planes(num_bits: int, dim: int) -> list[list[float]]:
+    """``num_bits`` hyperplanes of ``dim`` components in [-1, 1).
+
+    Component (b, i) derives from md5(f"{b}:{i}") — seed-free and
+    engine-agnostic (any runtime with md5 reproduces the exact floats, and
+    the DuckDB twin embeds the same 6-dp literals). The planes are a tiny
+    (bits × dim) constant that ships inside the plan as array literals —
+    at 100 TB scale this is the right shape too: a broadcast constant, not
+    a per-row hash evaluation over every (row, dim, bit) triple.
+    """
+    planes = []
+    for b in range(num_bits):
+        row = []
+        for i in range(dim):
+            v = int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:6], 16)
+            row.append(round(v / 2**24 * 2 - 1, 6))
+        planes.append(row)
+    return planes
+
+
+def _plane_sign_bits(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """bucket id from explicit literal hyperplanes; the per-plane dot is
+    rounded to 6 dp before the sign so any engine agrees at the boundary."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        lit = F.array(*[F.lit(c) for c in plane])
+        d = F.round(dot(F.col(vec_col), lit), 6)
+        bucket = bucket + F.when(
+            d > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def _sign_bits(
+    vec_col: str, num_bits: int, planes: list[list[float]] | None
+) -> F.Column:
+    if planes is not None:
+        return _plane_sign_bits(vec_col, planes)
+    return _hyperplane_sign_bits(vec_col, num_bits)
+
+
 def lsh_buckets(
     vecs: DataFrame,
     num_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """(id, bucket) random-hyperplane LSH bucket per vector."""
+    """(id, bucket) random-hyperplane LSH bucket per vector.
+
+    ``planes`` switches the bit source from xxhash64 (fast default) to
+    explicit md5-derived literal hyperplanes (see md5_planes) so the
+    bucketing is reproducible outside Spark.
+    """
     return vecs.select(
         F.col(id_col).alias("id"),
-        _hyperplane_sign_bits(vec_col, num_bits).alias("bucket"),
+        _sign_bits(vec_col, num_bits, planes).alias("bucket"),
     )
 
 
@@ -105,21 +154,23 @@ def knn_lsh(
     num_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's bucket.
 
     Same output schema as knn_bruteforce; recall < 1 by construction.
+    ``planes`` (see md5_planes) makes the buckets engine-portable.
     """
     cand = vecs.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        _hyperplane_sign_bits(vec_col, num_bits).alias("bucket"),
+        _sign_bits(vec_col, num_bits, planes).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
             "query_id",
             "qvec",
-            _hyperplane_sign_bits("qvec", num_bits).alias("qbucket"),
+            _sign_bits("qvec", num_bits, planes).alias("qbucket"),
         )
     )
     scored = (
