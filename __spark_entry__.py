@@ -157,15 +157,19 @@ def _q_order_agreement(spark, sf_dir):
     orderings (reference main.cpp:16-33 compares backends; here the two
     'backends' are two iteration depths — a deterministic, SQL-expressible
     stand-in). Ordering key rounds rank to 9 decimals so Spark and DuckDB
-    sort identically despite last-ulp float differences."""
-    from pyspark.sql import Window
+    sort identically despite last-ulp float differences. Positions use the
+    distributed numbering (plans.positions) — no partitionless Window."""
+    from ps_projekt_pagerank_spark.plans.positions import global_positions
 
     edges = D.web_edges(spark, sf_dir)
 
     def positions(num_iters):
-        r = pagerank_fixed(edges, num_iters)
-        w = Window.orderBy(F.desc(F.round("rank", 9)), F.asc("id"))
-        return r.select("id", F.row_number().over(w).alias("pos"))
+        r = pagerank_fixed(edges, num_iters).select(
+            "id", F.round("rank", 9).alias("rk")
+        )
+        return global_positions(r, [F.desc("rk"), F.asc("id")]).select(
+            "id", "pos"
+        )
 
     a = positions(3).withColumnRenamed("id", "id_a")
     b = positions(4).withColumnRenamed("id", "id_b")

@@ -9,7 +9,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,12 +42,18 @@ def top_bottom_k(ranks: DataFrame, edges: DataFrame, k: int = 10) -> DataFrame:
 
 def order_agreement(ranks_a: DataFrame, ranks_b: DataFrame) -> float:
     """R4 — fraction of positions at which the two rank-descending id
-    sequences agree (ties broken by id for determinism)."""
-    a = ranks_a.select(F.col("id").alias("id_a"), "rank").withColumn(
-        "pos", F.row_number().over(Window.orderBy(F.desc("rank"), F.asc("id_a")))
+    sequences agree (ties broken by id for determinism). Positions come
+    from the distributed numbering in plans.positions — no partitionless
+    Window, so the |V|-row rank vectors never funnel through one task."""
+    from .positions import global_positions
+
+    a = global_positions(
+        ranks_a.select(F.col("id").alias("id_a"), "rank"),
+        [F.desc("rank"), F.asc("id_a")],
     ).drop("rank")
-    b = ranks_b.select(F.col("id").alias("id_b"), "rank").withColumn(
-        "pos", F.row_number().over(Window.orderBy(F.desc("rank"), F.asc("id_b")))
+    b = global_positions(
+        ranks_b.select(F.col("id").alias("id_b"), "rank"),
+        [F.desc("rank"), F.asc("id_b")],
     ).drop("rank")
     joined = a.join(b, "pos")
     row = joined.agg(

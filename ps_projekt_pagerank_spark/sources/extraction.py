@@ -19,7 +19,7 @@ url/id, never by position (SURVEY.md §2.2 G1).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -72,35 +72,12 @@ def url_dictionary(pages: DataFrame, partitions: int | None = None) -> DataFrame
     range-partitioned by url, numbered locally inside each sorted
     partition, and shifted by per-partition offsets (a |partitions|-row
     cumulative sum computed driver-side) — the classic distributed
-    zipWithIndex, every stage parallel. The range partitioning is pinned
-    with an eager localCheckpoint so the offset job and the final
-    projection see identical partition boundaries (range boundaries come
-    from sampling and must not be re-derived between the two jobs)."""
-    spark = pages.sparkSession
-    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    local = (
-        pages.select("url").distinct()
-        .repartitionByRange(p, "url")
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "local_idx",
-            F.row_number().over(Window.partitionBy("pid").orderBy("url"))
-            .cast("long") - 1,
-        )
-        .localCheckpoint(eager=True)
-    )
-    counts = (
-        local.groupBy("pid").agg(F.count("*").alias("c")).orderBy("pid").collect()
-    )
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((int(r["pid"]), acc))
-        acc += int(r["c"])
-    off_df = spark.createDataFrame(offsets, "pid INT, off LONG")
-    return (
-        local.join(F.broadcast(off_df), "pid")
-        .select("url", (F.col("local_idx") + F.col("off")).alias("id"))
-    )
+    zipWithIndex, every stage parallel (see plans.positions)."""
+    from ..plans.positions import global_positions
+
+    return global_positions(
+        pages.select("url").distinct(), ["url"], partitions
+    ).select("url", (F.col("pos") - 1).alias("id"))
 
 
 def encode_edges(href_edges: DataFrame, url_dict: DataFrame) -> DataFrame:
