@@ -109,7 +109,7 @@ def token_jaccard_pairs(
     threshold: float,
     text_col: str = "text",
     candidates: DataFrame | None = None,
-    max_token_df: int | None = None,
+    max_token_df: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) exact token-set jaccard ≥ threshold.
 
@@ -118,10 +118,13 @@ def token_jaccard_pairs(
     probe the b-side with an equi-join on (id_b, tok) — so the pair space
     is |candidates|, never the token-bucket blowup. Without candidates,
     all pairs sharing ≥1 token are scored via a token-bucket self-join;
-    ``max_token_df`` caps the document frequency of join tokens there
-    (every stopword is otherwise a quadratic bucket — tokens above the cap
-    are skipped for intersection but still count toward the union, so
-    jaccard is a documented underestimate on capped runs)."""
+    ``max_token_df`` caps the document frequency of join tokens there so
+    no stopword becomes a quadratic bucket — the default is FINITE (1000)
+    on purpose: the uncapped self-join is O(Σ df²) and must be opted into
+    with ``max_token_df=None``. Tokens above the cap are skipped for
+    intersection but still count toward the union, so jaccard is a
+    documented underestimate on runs where the cap engages (a pair whose
+    every shared token is capped can be missed entirely)."""
     toks = _doc_tokens(docs, text_col)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is not None:

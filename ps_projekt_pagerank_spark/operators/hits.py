@@ -25,7 +25,7 @@ piggybacked on the same pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .graph import GraphTables, build_graph
@@ -39,6 +39,8 @@ def hits(
     """(id LONG, auth DOUBLE, hub DOUBLE) after ``iterations`` rounds,
     max-normalized each half-round; nodes with no in-links (out-links)
     hold auth=0 (hub=0)."""
+    if iterations < 1:
+        raise ValueError(f"hits needs iterations >= 1, got {iterations}")
     own_graph = graph is None
     g = graph or build_graph(edges)
     adj = g.adj.select(
@@ -49,35 +51,46 @@ def hits(
     nodes = g.nodes.select(F.col("id").cast("long").alias("id"))
 
     hub = nodes.select("id", F.lit(1.0).alias("hub"))
-    auth = None
-    for _ in range(iterations):
-        # checkpoint the RAW gather (one scatter per half-round — the max
-        # scalar and the normalization both read the cached result instead
-        # of recomputing the |E|-row join); the normalized frame stays lazy
-        # (a cheap |V|-row join off the cache) and the checkpoint doubles
-        # as the per-half-round lineage cut
+    auth = prev_a = prev_h = None
+    for k in range(iterations):
+        # ONE action per half-round: the max scalar rides the eager
+        # localCheckpoint of the RAW gather as an Observation (the
+        # observed frame IS the checkpointed one — a metric attached to a
+        # frame behind the checkpoint's RDD boundary would never publish);
+        # the normalized frame stays lazy (a cheap |V|-row join off the
+        # cache) and the checkpoint doubles as the per-half-round lineage
+        # cut. Spent half-rounds are unpersisted one round later, once
+        # nothing lazy can still reference them.
+        obs_a = Observation(f"hits_a_{k}")
         raw_a = (
             adj.join(hub.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("w") * F.col("hub")).alias("a"))
+            .observe(obs_a, F.max("a").alias("m"))
             .localCheckpoint(eager=True)
         )
-        amax = float(raw_a.agg(F.max("a")).first()[0] or 1.0)
+        if prev_a is not None:
+            prev_a.unpersist()
+            prev_h.unpersist()
+        amax = float(obs_a.get["m"] or 1.0)
         auth = nodes.join(raw_a, "id", "left").select(
             "id",
             (F.coalesce("a", F.lit(0.0)) / F.lit(amax)).alias("auth"),
         )
+        obs_h = Observation(f"hits_h_{k}")
         raw_h = (
             adj.join(auth.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum(F.col("w") * F.col("auth")).alias("h"))
+            .observe(obs_h, F.max("h").alias("m"))
             .localCheckpoint(eager=True)
         )
-        hmax = float(raw_h.agg(F.max("h")).first()[0] or 1.0)
+        hmax = float(obs_h.get["m"] or 1.0)
         hub = nodes.join(raw_h, "id", "left").select(
             "id",
             (F.coalesce("h", F.lit(0.0)) / F.lit(hmax)).alias("hub"),
         )
+        prev_a, prev_h = raw_a, raw_h
     out = auth.join(hub, "id")
     if own_graph:
         g.unpersist()
@@ -86,8 +99,11 @@ def hits(
 
 def hits_sql(edges_sql: str, iterations: int = 4) -> str:
     """The exact ANSI-SQL twin of ``hits`` (DuckDB oracle): same weighted
-    adjacency, same max normalization, unrolled CTE chain. Final scores
-    rounded to 6 dp (matching the gate query's projection)."""
+    adjacency, same max normalization (incl. the empty/zero-max → 1.0
+    fallback), unrolled CTE chain. Final scores rounded to 6 dp (matching
+    the gate query's projection)."""
+    if iterations < 1:
+        raise ValueError(f"hits_sql needs iterations >= 1, got {iterations}")
     # every CTE is MATERIALIZED: each round references the previous one
     # from several places, and DuckDB's default inlining would otherwise
     # re-expand the chain exponentially across rounds
@@ -105,14 +121,14 @@ def hits_sql(edges_sql: str, iterations: int = 4) -> str:
             f"AS a FROM w JOIN h{k} h ON w.src = h.id GROUP BY w.dst)",
             f"am{k} AS MATERIALIZED (SELECT max(a) AS m FROM ar{k})",
             f"a{k + 1} AS MATERIALIZED (SELECT n.id, coalesce(ar.a, 0) / "
-            f"(SELECT m FROM am{k}) AS auth FROM nodes n "
-            f"LEFT JOIN ar{k} ar ON ar.id = n.id)",
+            f"coalesce(nullif((SELECT m FROM am{k}), 0), 1.0) AS auth "
+            f"FROM nodes n LEFT JOIN ar{k} ar ON ar.id = n.id)",
             f"hr{k} AS MATERIALIZED (SELECT w.src AS id, sum(w.w * a.auth) "
             f"AS h FROM w JOIN a{k + 1} a ON w.dst = a.id GROUP BY w.src)",
             f"hm{k} AS MATERIALIZED (SELECT max(h) AS m FROM hr{k})",
             f"h{k + 1} AS MATERIALIZED (SELECT n.id, coalesce(hr.h, 0) / "
-            f"(SELECT m FROM hm{k}) AS hub FROM nodes n "
-            f"LEFT JOIN hr{k} hr ON hr.id = n.id)",
+            f"coalesce(nullif((SELECT m FROM hm{k}), 0), 1.0) AS hub "
+            f"FROM nodes n LEFT JOIN hr{k} hr ON hr.id = n.id)",
         ]
     return ",\n".join(parts) + (
         f"\nSELECT a.id, round(a.auth, 6) AS auth, round(h.hub, 6) AS hub "

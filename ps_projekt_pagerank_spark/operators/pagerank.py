@@ -165,9 +165,12 @@ def pagerank(
     round-trip latency dominates sweep compute.
 
     ``checkpointer`` (sources.checkpoint.IterationCheckpointer) durably
-    writes each iteration's rank vector + metrics and enables resume; with
-    or without it, lineage is truncated in-memory every iteration (see the
-    loop body comment).
+    writes rank vectors + metrics and enables resume; with or without it,
+    lineage is truncated in-memory every iteration (see the loop body
+    comment). NOTE: snapshots land once per Spark action — i.e. once per
+    *block*. With block_size > 1 only the block-final state is durably
+    written (resume granularity = block), and per-sweep `seconds` is the
+    block wall-clock averaged over the sweeps actually run.
     """
     own_graph = graph is None
     g = graph or build_graph(edges, partitions)
@@ -298,13 +301,17 @@ def pagerank(
                 ) == 0:
                     ran = j + 1
                     break
+        # block-internal frames were materialized into the cache for the
+        # pinpoint aggs; only the block-final `state` lives on
+        for f in frames[:-1]:
+            f.unpersist()
         iterations += ran
         for j in range(ran):
             metrics.append(
                 {
                     "iteration": iterations - ran + j + 1,
                     "edges": g.num_edges,
-                    "seconds": block_dt / block,
+                    "seconds": block_dt / ran,
                     "block": block,
                     **(
                         {"n_active": n_active} if j == ran - 1 else {}
@@ -347,8 +354,18 @@ def pagerank_personalized_fixed(
     (the DuckDB twin in __spark_entry__ replays it). Same scale shape as
     pagerank_fixed: build-once adjacency, |V|-row state per sweep.
     """
+    if not seeds:
+        raise ValueError("pagerank_personalized_fixed needs >= 1 seed node")
     own_graph = graph is None
     g = graph or build_graph(edges)
+    n_present = g.nodes.where(
+        F.col("id").isin([int(x) for x in seeds])
+    ).count()
+    if n_present == 0:
+        raise ValueError(
+            f"none of the {len(seeds)} seed ids exist in the graph — "
+            "the teleport vector would be all-zero"
+        )
     tele = F.when(
         F.col("id").isin([int(x) for x in seeds]),
         F.lit(1.0 / len(seeds)),

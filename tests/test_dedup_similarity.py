@@ -244,6 +244,34 @@ def test_embedding_neardup_bucketed_subset_no_cartesian(spark):
     assert "CartesianProduct" not in buf.getvalue()
 
 
+def test_token_jaccard_df_cap_skips_stopword_buckets(spark):
+    """The finite max_token_df default must keep stopwords out of the
+    self-join: with a cap below the stopword's df, pairs that share ONLY
+    the stopword disappear (documented underestimate), while low-df
+    tokens still pair up; an explicit None restores the exact answer."""
+    rows = [(i, f"the uniq{i}") for i in range(6)] + [(6, "the uniq5")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.token_jaccard_pairs(
+            docs, threshold=0.0, max_token_df=3
+        ).collect()
+    }
+    # "the" (df=7 > 3) is never a join bucket: only the uniq5 pair remains,
+    # its jaccard an underestimate (intersection misses the capped token)
+    assert set(capped) == {(5, 6)}
+    # inter misses "the" → 1 / (sz_a + sz_b - inter) = 1/3, not the true 1.0
+    assert math.isclose(capped[(5, 6)], round(1 / 3, 6), abs_tol=1e-9)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.token_jaccard_pairs(
+            docs, threshold=0.0, max_token_df=None
+        ).collect()
+    }
+    assert len(exact) == 21  # all C(7,2) pairs share "the"
+    assert exact[(5, 6)] == 1.0
+
+
 def test_token_jaccard_candidate_path_matches_full(docs):
     """Candidate-driven jaccard == full token-bucket jaccard restricted to
     the candidate set (same scores, no pair invented or lost)."""

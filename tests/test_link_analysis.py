@@ -36,6 +36,22 @@ def test_hits_matches_numpy(spark):
         assert np.isclose(got[i][1], hub[i], atol=1e-9), ("hub", i)
 
 
+def test_hits_rejects_zero_iterations(spark):
+    from ps_projekt_pagerank_spark.operators.hits import hits_sql
+
+    with pytest.raises(ValueError, match="iterations"):
+        hits(_edge_df(spark), 0)
+    with pytest.raises(ValueError, match="iterations"):
+        hits_sql("SELECT 1 AS src, 2 AS dst", 0)
+
+
+def test_ppr_rejects_bad_seeds(spark):
+    with pytest.raises(ValueError, match="seed"):
+        pagerank_personalized_fixed(_edge_df(spark), [], 2)
+    with pytest.raises(ValueError, match="seed"):
+        pagerank_personalized_fixed(_edge_df(spark), [777, 888], 2)
+
+
 def test_ppr_matches_numpy_and_localizes(spark):
     d = 0.85
     seeds = [0]
