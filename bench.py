@@ -195,6 +195,42 @@ def run_suite(spark, sf_dir):
         "kmeans_iters": 2,
     }
 
+    # incremental re-rank (streaming/crawl.py's payoff): after a ~1% edge
+    # delta, warm-starting from the previous converged ranks vs a cold
+    # 1/N start on the same updated graph — the cross-run amortization a
+    # continuous crawl buys. One timed run each (the iteration-count gap
+    # is the steal-immune signal; wall seconds give the latency scale)
+    from ps_projekt_pagerank_spark import NORTH_EPSILON
+    from ps_projekt_pagerank_spark.operators.pagerank import pagerank
+
+    base_edges = D.web_edges(spark, sf_dir)
+    prev = pagerank(base_edges, epsilon=NORTH_EPSILON, max_iterations=200)
+    prev_ranks = prev.ranks.localCheckpoint(eager=True)
+    delta = base_edges.where(F.pmod("src", 101) == 0).select(
+        "src", (F.col("dst") + 1).alias("dst")
+    )
+    gu = build_graph(base_edges.unionAll(delta))
+    t0 = time.perf_counter()
+    cold = pagerank(None, graph=gu, epsilon=NORTH_EPSILON, max_iterations=200)
+    cold.ranks.count()
+    cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    warm = pagerank(
+        None, graph=gu, epsilon=NORTH_EPSILON, max_iterations=200,
+        init_ranks=prev_ranks,
+    )
+    warm.ranks.count()
+    warm_s = time.perf_counter() - t0
+    gu.unpersist()
+    timings["pagerank_rerank_warm"] = round(warm_s, 3)
+    extras["incremental_rerank"] = {
+        "cold_seconds": round(cold_s, 3),
+        "warm_seconds": round(warm_s, 3),
+        "cold_iterations": cold.iterations,
+        "warm_iterations": warm.iterations,
+        "delta_edges_pct": 1.0,
+    }
+
     # Arrow-vectorized text extraction over synthesized html
     docs = D.documents(spark, sf_dir)
     html = F.concat(

@@ -1,0 +1,175 @@
+"""Continuous-crawl graph maintenance — the end-to-end incremental story.
+
+Composes the three pieces that exist separately into the product a crawl
+pipeline runs (north-rule extension; the reference rebuilds its CSR from
+the full edge file every run, Graph.cpp:44-103):
+
+    edge stream --foreachBatch--> MERGE into bucketed store --> load_graph
+                --> pagerank(init_ranks=previous)   (warm re-rank)
+
+``apply_edge_delta`` is the MERGE: the micro-batch collapses to weighted
+(src, dst, w) increments, full-outer-joins the stored adjacency, and the
+summed table is rewritten bucketed-by-src; the node table (outdeg /
+is_sink) is re-derived from the merged adjacency in the same pass. On a
+parquet catalog this is a bucketed rewrite (shuffle bounded by the bucket
+spec); on Iceberg the same frame feeds MERGE INTO and only touched files
+rewrite — the logical plan is identical.
+
+``stream_maintain_graph`` drives it from a Structured Streaming source
+via foreachBatch — the scale-correct replacement for the complete-mode
+memory-sink aggregations in streaming.edges (which remain as the
+batch-vs-stream equality test scaffolding).
+
+``incremental_rerank`` closes the loop: load the maintained store (no
+build shuffle) and warm-start PageRank from the previous rank vector —
+convergence in a fraction of the cold sweeps when the delta is small
+(bench-measured; see tests/test_incremental_bucketed.py for the 1e-6
+equality contract vs a cold batch rebuild).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pagerank import PageRankResult, pagerank
+from ..sources.bucketed import load_graph, save_graph
+
+
+def _table_exists(spark: SparkSession, name: str) -> bool:
+    return spark.catalog.tableExists(name)
+
+
+def _bucket_count(spark: SparkSession, name: str) -> int | None:
+    for row in spark.sql(f"DESCRIBE EXTENDED {name}").collect():
+        if row["col_name"] == "Num Buckets":
+            try:
+                return int(row["data_type"])
+            except ValueError:  # pragma: no cover
+                return None
+    return None
+
+
+def apply_edge_delta(
+    spark: SparkSession, name: str, delta_edges: DataFrame
+) -> None:
+    """MERGE a batch of raw (src, dst) edges into bucketed store ``name``.
+
+    Creates the store when absent (the first micro-batch bootstraps it via
+    build_graph + save_graph). Ids must fit the stored id type — the
+    dictionary encoding guarantees density, so a delta id overflowing an
+    int32-narrowed store means the dictionary itself rolled over 2^31 and
+    the store should be rebuilt wide (raised, not silently truncated).
+    """
+    from ..operators.graph import build_graph
+
+    if not _table_exists(spark, name):
+        g = build_graph(delta_edges)
+        save_graph(g, name)
+        g.unpersist()
+        return
+
+    cur = spark.read.table(name)
+    id_t = dict(cur.dtypes)["src"]
+    if id_t == "int":
+        mx = delta_edges.agg(
+            F.greatest(F.max("src"), F.max("dst")).alias("m")
+        ).first()["m"]
+        if mx is not None and int(mx) >= 2**31:
+            raise ValueError(
+                "delta ids exceed the store's int32 layout — rebuild the "
+                "store with long ids before merging this delta"
+            )
+    delta = (
+        delta_edges.select(
+            F.col("src").cast(id_t).alias("src"),
+            F.col("dst").cast(id_t).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast(id_t).alias("wd"))
+    )
+    merged = (
+        cur.join(delta, ["src", "dst"], "full_outer")
+        .select(
+            "src",
+            "dst",
+            (
+                F.coalesce("w", F.lit(0)) + F.coalesce("wd", F.lit(0))
+            ).cast(id_t).alias("w"),
+        )
+        # cut the dependency on the table being overwritten (Spark refuses
+        # to overwrite a table still referenced by the write's own plan)
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        merged.select(F.col("src").alias("id"))
+        .unionAll(merged.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(
+            merged.groupBy(F.col("src").alias("id")).agg(
+                F.sum("w").cast("long").alias("outdeg")
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            F.col("id").cast(id_t).alias("id"),
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        )
+        .withColumn("is_sink", F.col("outdeg") == 0)
+        .localCheckpoint(eager=True)
+    )
+    b = _bucket_count(spark, name) or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    (
+        merged.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(b, "src")
+        .sortBy("src", "dst")
+        .saveAsTable(name)
+    )
+    nodes.write.mode("overwrite").format("parquet").saveAsTable(
+        name + "_nodes"
+    )
+
+
+def stream_maintain_graph(
+    spark: SparkSession, parquet_dir: str, name: str
+) -> None:
+    """Maintain bucketed store ``name`` from a parquet edge-stream dir:
+    each micro-batch MERGEs via apply_edge_delta (foreachBatch — the
+    upsert-sink shape; swap the source for Kafka and the store for Iceberg
+    on a cluster without touching the merge logic). Runs all available
+    input, then stops."""
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(parquet_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _bid: apply_edge_delta(spark, name, batch_df)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def incremental_rerank(
+    spark: SparkSession,
+    name: str,
+    prev_ranks: DataFrame | None = None,
+    **pagerank_kwargs,
+) -> PageRankResult:
+    """Load the maintained store (no build shuffle) and re-rank, warm-
+    starting from ``prev_ranks`` when given."""
+    g = load_graph(spark, name)
+    try:
+        return pagerank(
+            None, graph=g, init_ranks=prev_ranks, **pagerank_kwargs
+        )
+    finally:
+        g.unpersist()

@@ -71,3 +71,50 @@ def test_bucketed_store_roundtrip_and_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_bucketed_graph")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_graph_nodes")
         g.unpersist()
+
+
+def test_stream_maintained_store_plus_warm_start_equals_batch(spark, tmp_path):
+    """The composed incremental-crawl path — edge stream, foreachBatch
+    MERGE into the bucketed store, load, warm-start re-rank — must land on
+    EXACTLY the ranks of a cold batch rebuild given the same warm start
+    (same input, same trajectory: agreement to 1e-6 proves the store
+    maintenance is lossless; warm-vs-cold trajectory drift is covered by
+    test_warm_start_converges_faster)."""
+    from ps_projekt_pagerank_spark.streaming.crawl import (
+        incremental_rerank,
+        stream_maintain_graph,
+    )
+
+    base = tripled_k(FIXTURE_GRAPHS["small"], 2)
+    delta = [(0, 7), (3, 9), (0, 7)]  # duplicate link exercises w merge
+    d = str(tmp_path / "edge_stream")
+    edges_from_pairs(spark, base).coalesce(1).write.mode("append").parquet(d)
+    edges_from_pairs(spark, delta).coalesce(1).write.mode("append").parquet(d)
+
+    prev = pagerank(edges_from_pairs(spark, base), epsilon=1e-9)
+    full = edges_from_pairs(spark, list(base) + delta)
+    g_batch = build_graph(full)
+    warm_batch = pagerank(
+        None, graph=g_batch, init_ranks=prev.ranks, epsilon=1e-9
+    )
+
+    try:
+        stream_maintain_graph(spark, d, "t_crawl_store")
+        g_store = load_graph(spark, "t_crawl_store")
+        assert (g_store.num_nodes, g_store.num_edges, g_store.num_sinks) == (
+            g_batch.num_nodes, g_batch.num_edges, g_batch.num_sinks
+        )
+        g_store.unpersist()
+        warm_inc = incremental_rerank(
+            spark, "t_crawl_store", prev_ranks=prev.ranks, epsilon=1e-9
+        )
+        assert warm_inc.iterations == warm_batch.iterations
+        a = {r["id"]: r["rank"] for r in warm_batch.ranks.collect()}
+        b = {r["id"]: r["rank"] for r in warm_inc.ranks.collect()}
+        assert a.keys() == b.keys()
+        for nid in a:
+            assert abs(a[nid] - b[nid]) < 1e-6, nid
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_crawl_store")
+        spark.sql("DROP TABLE IF EXISTS t_crawl_store_nodes")
+        g_batch.unpersist()
