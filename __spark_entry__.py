@@ -278,12 +278,15 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
-def _synthetic_pages(spark, sf_dir):
+def _synthetic_pages(spark, sf_dir, mods=((7, 500), (13, 500))):
     """pages(url, html BINARY) synthesized from `documents` — html embeds a
-    script/style head, the doc text, and two modular hrefs, so the whole S4
-    path (Arrow-UDF text + href extraction, url→id dictionary encoding) is
-    covered by the driver's DuckDB cross-check, not just pytest."""
+    script/style head, the doc text, and two modular hrefs ``u{doc_id *
+    mult % mod}``, so the whole S4 path (Arrow-UDF text + href extraction,
+    url→id dictionary encoding) is covered by the driver's DuckDB
+    cross-check, not just pytest. The default mods keep the original
+    s4_extract_* oracles; the e2e flagship passes a skewed pair."""
     docs = D.documents(spark, sf_dir)
+    (m1, d1), (m2, d2) = mods
     html = F.concat(
         F.lit(
             "<html><head><script>var x = 1;</script>"
@@ -293,9 +296,9 @@ def _synthetic_pages(spark, sf_dir):
         F.lit("</h1><p>"),
         F.col("text"),
         F.lit('</p><a href="u'),
-        (F.col("doc_id") * 7 % 500).cast("string"),
+        (F.col("doc_id") * m1 % d1).cast("string"),
         F.lit('">x</a> <a href="u'),
-        (F.col("doc_id") * 13 % 500).cast("string"),
+        (F.col("doc_id") * m2 % d2).cast("string"),
         F.lit('">y</a></body></html>'),
     )
     return docs.select(
@@ -315,6 +318,68 @@ def _q_extract_edges(spark, sf_dir):
 
     edges, _ = pages_to_graph(_synthetic_pages(spark, sf_dir))
     return edges
+
+
+def _q_snap_roundtrip(spark, sf_dir):
+    """S1 — the SNAP text scan, gate-checked end-to-end: render the derived
+    web graph as a SNAP edge list (``#`` comment lines + tab-separated
+    src/dst pairs), write it with the distributed text sink, re-scan with
+    sources.snap.read_snap_edges, and reduce to the per-edge multiset.
+    Oracle = the same multiset straight from lineitem, so equality proves
+    the text round-trip (comment filtering, whitespace split, long cast,
+    duplicate-edge preservation) is lossless. Ref: src/Graph.cpp:32-101."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ps_projekt_pagerank_spark.sources.snap import read_snap_edges
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "snap_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    header = spark.createDataFrame(
+        [
+            ("# Directed graph: derived web edges (round-trip fixture)",),
+            ("# FromNodeId\tToNodeId",),
+        ],
+        "value STRING",
+    )
+    lines = D.web_edges(spark, sf_dir).select(
+        F.concat_ws("\t", F.col("src"), F.col("dst")).alias("value")
+    )
+    header.unionAll(lines).write.mode("overwrite").text(out)
+    return (
+        read_snap_edges(spark, out)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("multiplicity"))
+    )
+
+
+def _q_e2e_extract_rank(spark, sf_dir):
+    """Flagship end-to-end pipeline in ONE gate row: synthesized crawl pages
+    → S4 extraction (Arrow href UDF + distributed url dictionary) → edge
+    encoding → 4 fixed PageRank sweeps → top-10 urls by rank. The DuckDB
+    twin replays extraction in SQL and unrolls the same 4 sweeps, so the
+    whole production path is value-hash-checked across engines. Hrefs use
+    a skewed pair — u{id*7%499} (near-permutation) + u{id%25} (25 hub
+    pages with ~20 in-links each) — so ranks genuinely vary; the default
+    s4 pair is 2-regular (both multipliers coprime to 500) and would make
+    every rank a constant 1/n."""
+    from ps_projekt_pagerank_spark.sources.extraction import pages_to_graph
+
+    edges, urls = pages_to_graph(
+        _synthetic_pages(spark, sf_dir, mods=((7, 499), (1, 25)))
+    )
+    r = pagerank_fixed(edges, num_iterations=4).select(
+        "id", F.round("rank", 9).alias("rank")
+    )
+    return (
+        r.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(10)
+        .join(urls, "id")
+        .select("url", "rank")
+    )
 
 
 def _q_events_agg(spark, sf_dir):
@@ -387,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "s4_extract_text": _q_extract_text,
         "s4_extract_edges": _q_extract_edges,
+        "s1_snap_roundtrip": _q_snap_roundtrip,
+        "e2e_extract_rank_top10": _q_e2e_extract_rank,
         "events_5min_agg": _q_events_agg,
         "events_sessions": _q_events_sessions,
         "events_props_json": _q_events_props,
@@ -940,6 +1007,33 @@ def oracle_sql() -> dict[str, str]:
         "'u' || CAST(doc_id * 13 % 500 AS VARCHAR) FROM documents) "
         "SELECT s.id AS src, t.id AS dst FROM hrefs "
         "JOIN d s ON s.url = hrefs.src_url JOIN d t ON t.url = hrefs.dst_url"
+    )
+    sqls["s1_snap_roundtrip"] = (
+        f"WITH e AS ({_WEB}) SELECT src, dst, count(*) AS multiplicity "
+        f"FROM e GROUP BY src, dst"
+    )
+    # flagship end-to-end: extraction edges (same derivation as
+    # s4_extract_edges, dict inlined so the CTE nests cleanly) feeding the
+    # 4-sweep unrolled PageRank, top-10 joined back to urls
+    e2e_dict = (
+        "SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, "
+        "row_number() OVER (ORDER BY 'u' || CAST(doc_id AS VARCHAR)) - 1 "
+        "AS id FROM documents"
+    )
+    e2e_edges = (
+        "SELECT s.id AS src, t.id AS dst FROM "
+        "(SELECT 'u' || CAST(doc_id AS VARCHAR) AS src_url, "
+        "'u' || CAST(doc_id * 7 % 499 AS VARCHAR) AS dst_url FROM documents "
+        "UNION ALL SELECT 'u' || CAST(doc_id AS VARCHAR), "
+        "'u' || CAST(doc_id % 25 AS VARCHAR) FROM documents) hrefs "
+        f"JOIN ({e2e_dict}) s ON s.url = hrefs.src_url "
+        f"JOIN ({e2e_dict}) t ON t.url = hrefs.dst_url"
+    )
+    sqls["e2e_extract_rank_top10"] = (
+        f"SELECT d.url AS url, r.rank FROM "
+        f"(SELECT id, rank FROM ({_pagerank_fixed_sql(4, edges_sql=e2e_edges)}) "
+        f"ORDER BY rank DESC, id ASC LIMIT 10) r "
+        f"JOIN ({e2e_dict}) d ON d.id = r.id"
     )
     sqls["events_5min_agg"] = (
         "SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start, "

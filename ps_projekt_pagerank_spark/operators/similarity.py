@@ -21,6 +21,7 @@ deterministic and engine-comparable.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -192,14 +193,30 @@ def knn_lsh(
     )
 
 
+def derive_num_centroids(n: int) -> int:
+    """K ≈ √n, clamped to [2, 65536] — the classical IVF balance point.
+
+    With K = √n cells, a probe scans ~nprobe·√n candidates and the
+    centroid table is K·d doubles — at n = 10^10 (a 100 TB corpus) that is
+    K = 65536 (clamp) ≈ 50 MB at d = 96, still broadcastable, while each
+    cell holds ~150k vectors: both sides of the trade stay bounded. The
+    explicit ``num_centroids`` knob remains for gate/oracle replay, where
+    the DuckDB twin must unroll the exact same K.
+    """
+    return max(2, min(65536, math.isqrt(max(n, 0))))
+
+
 def ivf_centroids(
     vecs: DataFrame,
-    num_centroids: int = 8,
+    num_centroids: int | None = 8,
     kmeans_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(cent_id, cvec ARRAY<DOUBLE>) — deterministic Lloyd k-means.
+
+    ``num_centroids=None`` derives K ≈ √n from a corpus count (one extra
+    count() job on the auto path; pass an explicit K to skip it).
 
     Init = the ``num_centroids`` smallest ids actually present (distributed
     TakeOrdered — no dense-id assumption). Each iteration assigns every
@@ -213,6 +230,8 @@ def ivf_centroids(
     |n|×K broadcast join + per-vector top-1; an update pass shuffles
     n·d (cell, dim, val) rows into K·d groups — linear per iteration.
     """
+    if num_centroids is None:
+        num_centroids = derive_num_centroids(vecs.count())
     seeds = vecs.select(id_col).orderBy(id_col).limit(num_centroids)
     cents = vecs.join(F.broadcast(seeds), id_col).select(
         F.col(id_col).alias("cent_id"),
@@ -257,7 +276,7 @@ def knn_ivf(
     vecs: DataFrame,
     queries: DataFrame,
     k: int,
-    num_centroids: int = 8,
+    num_centroids: int | None = 8,
     nprobe: int = 2,
     kmeans_iters: int = 2,
     id_col: str = "vec_id",

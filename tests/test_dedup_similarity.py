@@ -288,3 +288,43 @@ def test_token_jaccard_candidate_path_matches_full(docs):
     }
     cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     assert via_cand == {p: j for p, j in full.items() if p in cand_set}
+
+
+def test_derive_num_centroids_sqrt_clamped():
+    from ps_projekt_pagerank_spark.operators.similarity import (
+        derive_num_centroids,
+    )
+
+    assert derive_num_centroids(0) == 2
+    assert derive_num_centroids(3) == 2
+    assert derive_num_centroids(100) == 10
+    assert derive_num_centroids(10**10) == 65536  # clamp: stays broadcastable
+
+
+def test_knn_ivf_auto_centroids(spark):
+    """num_centroids=None derives K=isqrt(n) and must equal the explicit-K
+    run (n=40 -> K=6)."""
+    import numpy as np
+
+    from ps_projekt_pagerank_spark.operators.similarity import knn_ivf
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(40, 8).astype("float32")
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    queries = vecs.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def rows(nc):
+        return sorted(
+            (r["query_id"], r["knn_rank"], r["neighbor_id"])
+            for r in knn_ivf(
+                vecs, queries, k=3, num_centroids=nc, nprobe=2, kmeans_iters=2
+            ).collect()
+        )
+
+    assert rows(None) == rows(6)
