@@ -175,23 +175,31 @@ def run_suite(spark, sf_dir):
 
     # ANN quality gate: recall@5 of the trained-k-means IVF path vs the
     # exact answer (the classic IVF trade — fraction of corpus scanned vs
-    # recall — made auditable per round)
-    from ps_projekt_pagerank_spark.operators.similarity import knn_ivf
+    # recall — made auditable per round), at the size-DERIVED K ≈ √n and
+    # nprobe ≈ K/8 a 100 TB deployment would use (VERDICT r2 item 6)
+    from ps_projekt_pagerank_spark.operators.similarity import (
+        derive_nprobe,
+        derive_num_centroids,
+        knn_ivf,
+    )
 
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in knn_bruteforce(vecs, queries, 5).collect()
     }
+    ivf_k = derive_num_centroids(vecs.count())
+    ivf_np = derive_nprobe(ivf_k)
     approx = {
         (r["query_id"], r["neighbor_id"])
         for r in knn_ivf(
-            vecs, queries, 5, num_centroids=8, nprobe=2
+            vecs, queries, 5, num_centroids=ivf_k, nprobe=ivf_np
         ).collect()
     }
     extras["knn_ivf"] = {
         "recall_at_5": round(len(approx & exact) / max(len(exact), 1), 3),
-        "num_centroids": 8,
-        "nprobe": 2,
+        "num_centroids": ivf_k,
+        "nprobe": ivf_np,
+        "derived": True,
         "kmeans_iters": 2,
     }
 
@@ -245,10 +253,21 @@ def run_suite(spark, sf_dir):
     return timings, extras
 
 
+def _steal_probe() -> dict:
+    """~2 s host-weather probe (tools/cpu_probe.steal_context), never fatal."""
+    try:
+        from tools.cpu_probe import steal_context
+
+        return steal_context()
+    except Exception as exc:  # noqa: BLE001 — bench must not die on a probe
+        return {"error": str(exc)}
+
+
 def main_bench():
     from ps_projekt_pagerank_spark.session import get_spark
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    probe_before = _steal_probe()
     timings, extras = run_suite(spark, SF_DIR)
     out = {
         "metric": "headline suite wall-clock (converged PageRank + graph "
@@ -258,6 +277,10 @@ def main_bench():
         "n": int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")),
         "queries": timings,
         "sf": _sf_label(SF_DIR),
+        # host weather at suite start/end: this box shows several-fold
+        # time-varying CPU steal, so cross-round comparisons need the
+        # effective-core context recorded next to the numbers
+        "steal_context": {"before": probe_before, "after": _steal_probe()},
         **extras,
     }
     print(json.dumps(out))
@@ -278,6 +301,7 @@ def main_pagerank_only(cores: int):
                 "edges": edges,
                 "adj_rows": adj_rows,
                 "edges_per_sec_per_iter": round(edges * iters / dt, 1),
+                "steal_context": _steal_probe(),
             }
         )
     )
@@ -332,7 +356,8 @@ def main_scaling():
             "\n## Session %s — tripled %dx, %s, %d repeat(s)/level, "
             "efficiency (T_%d/T_%d)/4 = %.3f\n\n"
             "| config | wall sec (iterative phase) | iterations | edges | "
-            "adj rows | edges/sec/iteration |\n|---|---|---|---|---|---|\n"
+            "adj rows | edges/sec/iteration | host effective cores @8 |\n"
+            "|---|---|---|---|---|---|---|\n"
             % (
                 stamp, 3 ** int(scale_k), SF_DIR, repeats,
                 cores_pair[0], cores_pair[1], eff,
@@ -340,10 +365,11 @@ def main_scaling():
         )
         for r in all_runs:
             f.write(
-                "| local[%d] | %.3f | %d | %d | %d | %.0f |\n"
+                "| local[%d] | %.3f | %d | %d | %d | %.0f | %s |\n"
                 % (
                     r["cores"], r["seconds"], r["iterations"], r["edges"],
                     r["adj_rows"], r["edges_per_sec_per_iter"],
+                    r.get("steal_context", {}).get("effective_cores", "n/a"),
                 )
             )
     print(json.dumps({"scaling_efficiency": round(eff, 3), "best": list(best.values()), "runs": all_runs}))

@@ -24,14 +24,31 @@ def _burn(n: int) -> int:
     return x
 
 
-def measure(procs: int, repeats: int = 3) -> float:
+def measure(procs: int, repeats: int = 3, work: int = WORK) -> float:
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         with mp.Pool(procs) as p:
-            p.map(_burn, [WORK] * procs)
+            p.map(_burn, [work] * procs)
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def steal_context(procs: int = 8, repeats: int = 1, work: int = WORK) -> dict:
+    """~2 s probe embeddable in bench JSON: what was the host giving?
+
+    Returns the single-process unit-of-work time and the effective core
+    count at `procs` workers. Bench outputs carry this so a cross-round
+    comparison can tell code regressions from host weather without
+    re-running anything (VERDICT r2 'bench comparability hygiene')."""
+    base = measure(1, repeats=repeats, work=work)
+    wall = measure(procs, repeats=repeats, work=work)
+    return {
+        "unit_seconds_1proc": round(base, 3),
+        "probe_procs": procs,
+        "probe_wall_seconds": round(wall, 3),
+        "effective_cores": round(procs * base / wall, 2),
+    }
 
 
 def main() -> None:
