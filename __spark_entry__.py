@@ -159,12 +159,14 @@ def _q_order_agreement(spark, sf_dir):
     stand-in). Ordering key rounds rank to 9 decimals so Spark and DuckDB
     sort identically despite last-ulp float differences. Positions use the
     distributed numbering (plans.positions) — no partitionless Window."""
+    from ps_projekt_pagerank_spark.operators.graph import build_graph
     from ps_projekt_pagerank_spark.plans.positions import global_positions
 
     edges = D.web_edges(spark, sf_dir)
+    g = build_graph(edges)  # one shared build: both depths scatter over it
 
     def positions(num_iters):
-        r = pagerank_fixed(edges, num_iters).select(
+        r = pagerank_fixed(edges, num_iters, graph=g).select(
             "id", F.round("rank", 9).alias("rk")
         )
         return global_positions(r, [F.desc("rk"), F.asc("id")]).select(
