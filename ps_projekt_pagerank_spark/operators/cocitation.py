@@ -1,0 +1,67 @@
+"""Co-citation and bibliographic coupling (north-rule link-analysis
+extension; Small 1973 / Kessler 1963 — the similarity measures HITS's
+authority/hub scores implicitly factorize, here as explicit pair counts).
+
+- co-citation(a, b)      = |{s : s→a and s→b}|  (pages cited together)
+- coupling(a, b)         = |{d : a→d and b→d}|  (pages citing the same set)
+
+Both are a self-join of the edge table on the shared endpoint followed by
+a pair-count agg — the A·Aᵀ / Aᵀ·A products restricted to nonzero cells.
+
+Scale: a shared endpoint of degree d fans out d·(d-1)/2 pairs, so hub
+pages make the naive join quadratic (the same blowup triangle counting
+dodges via degree orientation). ``max_fanout`` drops shared endpoints
+above a degree cap before pairing — a 10^4-out-degree index page asserts
+almost nothing about any single pair it cites, so capping trades a
+documented, bounded undercount for a join that stays linear in |E|·cap.
+Pair output is halved by requiring a < b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _paired_on(edges: DataFrame, shared: str, paired: str,
+               max_fanout: int | None) -> DataFrame:
+    e = edges.select(shared, paired).distinct()
+    if max_fanout is not None:
+        deg = e.groupBy(shared).agg(F.count("*").alias("_d"))
+        e = e.join(
+            F.broadcast(deg.where(F.col("_d") > max_fanout).select(shared)),
+            shared,
+            "left_anti",
+        )
+    a = e.select(F.col(shared).alias("_s"), F.col(paired).alias("a"))
+    b = e.select(F.col(shared).alias("_s2"), F.col(paired).alias("b"))
+    return (
+        a.join(b, (F.col("_s") == F.col("_s2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame, min_count: int = 1, max_fanout: int | None = 256
+) -> DataFrame:
+    """(a, b, cocitations) — pages co-cited by ≥ ``min_count`` common
+    sources; sources with out-degree > ``max_fanout`` are excluded from
+    pairing (None = exact, test-scale only)."""
+    out = _paired_on(edges, "src", "dst", max_fanout)
+    return (
+        out.where(F.col("n") >= min_count)
+        .select("a", "b", F.col("n").alias("cocitations"))
+    )
+
+
+def coupling_pairs(
+    edges: DataFrame, min_count: int = 1, max_fanout: int | None = 256
+) -> DataFrame:
+    """(a, b, couplings) — pages citing ≥ ``min_count`` common targets;
+    targets with in-degree > ``max_fanout`` are excluded from pairing."""
+    out = _paired_on(edges, "dst", "src", max_fanout)
+    return (
+        out.where(F.col("n") >= min_count)
+        .select("a", "b", F.col("n").alias("couplings"))
+    )

@@ -392,3 +392,45 @@ def embedding_neardup_pairs_bruteforce(
         .where(cosine("va", "vb") > threshold)
         .select("id_a", "id_b")
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_duplicate) — the end product of a training-
+    data dedup stage: near-duplicate pairs grouped into clusters, one
+    survivor per cluster (the min doc_id, which min-label components makes
+    the cluster id), everything else flagged for dropping.
+
+    ``pairs`` defaults to ``minhash_lsh_pairs``; pass your own (e.g. the
+    jaccard-verified subset, or simhash/embedding pairs) to change the
+    similarity notion without changing the clustering.
+
+    Scale: the pair graph is tiny relative to the corpus (only candidate
+    pairs), and near-dup clusters have hop-diameter ~1-3, so min-label
+    propagation converges in a handful of |pairs|-row rounds; docs outside
+    every pair never enter the iteration — they join back as singleton
+    clusters at the end (one broadcast-friendly left join).
+    """
+    from .components import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, text_col, num_hashes, rows_per_band)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_rounds=max_rounds,
+    ).select(F.col("id").alias("doc_id"), "component")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("cluster_id"))
+    )

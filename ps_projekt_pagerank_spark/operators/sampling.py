@@ -1,0 +1,144 @@
+"""Graph sampling for training-data pipelines: deterministic random-walk
+corpus generation (the DeepWalk/node2vec input stage — Perozzi et al.
+KDD'14) and k-hop ego-network extraction.
+
+Walks use md5-derived choices — next hop from ``cur`` is the out-neighbor
+minimizing md5(walk_id # step # dst) — so any engine with md5 reproduces
+the corpus exactly (same trick as the minhash/simhash/LSH families), while
+the choice is still uniform over neighbors per (walk, step).
+
+Scale: one walk step is an |active-walks|-row equi-join against the edge
+table on cur = src plus a per-walk argmin agg — linear in the frontier,
+map-side combinable, never materializing more than walks × out-degree
+candidate rows per step. Walk state carries only (walk_id, step, cur);
+the corpus assembles once at the end with a single collect_list agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int,
+    walks_per_node: int = 1,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """(walk_id LONG, start LONG, walk ARRAY<LONG>) — one row per walk.
+
+    Walks start at every node (or at ``starts`` (id LONG) if given), take
+    up to ``walk_length`` deterministic-uniform steps along out-edges, and
+    truncate early at sinks — exactly DeepWalk's corpus semantics with the
+    RNG replaced by md5 so runs (and SQL twins) are reproducible.
+    """
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if starts is None:
+        starts = (
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    # (walk_id, start, cur) for w = 0..walks_per_node-1 per start node
+    walks = starts.crossJoin(
+        F.broadcast(
+            starts.sparkSession.range(walks_per_node).select(
+                F.col("id").alias("w")
+            )
+        )
+    ).select(
+        (F.col("id") * walks_per_node + F.col("w")).alias("walk_id"),
+        F.col("id").alias("start"),
+        F.col("id").alias("cur"),
+    )
+
+    steps = [
+        walks.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    ]
+    frontier = walks.select("walk_id", "cur").localCheckpoint(eager=True)
+    for step in range(1, walk_length + 1):
+        nxt = (
+            frontier.join(e, frontier["cur"] == e["src"])
+            .groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col("walk_id"),
+                                F.lit(step),
+                                F.col("dst"),
+                            )
+                        ).alias("h"),
+                        F.col("dst").alias("d"),
+                    )
+                )["d"].alias("cur")
+            )
+            .localCheckpoint(eager=True)  # sinks drop out: walk truncates
+        )
+        steps.append(
+            nxt.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias("node"))
+        )
+        frontier = nxt
+    allsteps = steps[0]
+    for s in steps[1:]:
+        allsteps = allsteps.unionAll(s)
+    out = (
+        allsteps.groupBy("walk_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "node"))),
+                lambda s: s["node"],
+            ).alias("walk")
+        )
+        .select("walk_id", F.element_at("walk", 1).alias("start"), "walk")
+    )
+    e.unpersist(blocking=False)
+    return out
+
+
+def ego_network(
+    edges: DataFrame,
+    seeds: list[int],
+    hops: int,
+    undirected: bool = False,
+) -> DataFrame:
+    """(src, dst) — the subgraph induced on nodes within ``hops`` edge
+    traversals of any seed (seeds broadcast; frontier expansion is one
+    semi-join per hop, then one induced-edge filter join at the end)."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    walkable = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        if undirected
+        else e
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    visited = spark.createDataFrame([(int(s),) for s in seeds], "id LONG")
+    frontier = visited
+    for _ in range(hops):
+        frontier = (
+            walkable.join(
+                F.broadcast(frontier), walkable["src"] == frontier["id"]
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(F.broadcast(visited), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+    ids = F.broadcast(visited)
+    out = (
+        e.join(ids.withColumnRenamed("id", "src"), "src")
+        .join(ids.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst")
+    )
+    walkable.unpersist(blocking=False)
+    return out
