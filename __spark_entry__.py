@@ -26,6 +26,13 @@ from ps_projekt_pagerank_spark.functions import text as tx
 from ps_projekt_pagerank_spark.operators import dedup as dd
 from ps_projekt_pagerank_spark.operators import graph as G
 from ps_projekt_pagerank_spark.operators import multimodal as mm
+from ps_projekt_pagerank_spark.operators.anf import anf_neighborhood
+from ps_projekt_pagerank_spark.operators.cocitation import (
+    cocitation_pairs,
+    coupling_pairs,
+)
+from ps_projekt_pagerank_spark.operators.dedup import dedup_clusters
+from ps_projekt_pagerank_spark.operators.sampling import ego_network, random_walks
 from ps_projekt_pagerank_spark.operators import similarity as sim
 from ps_projekt_pagerank_spark.operators.components import connected_components
 from ps_projekt_pagerank_spark.operators.labelprop import label_propagation
@@ -420,6 +427,50 @@ def _q_frame_sample(spark, sf_dir):
     return mm.frame_sample(media, every_n=10)
 
 
+def _q_anf_reach(spark, sf_dir):
+    # gate compares the INTEGER per-h sum of FM bit positions only —
+    # est_reach is a float sum whose addition order differs across engines
+    return anf_neighborhood(D.sparse_edges(spark, sf_dir), rounds=3).select(
+        "h", "sum_positions"
+    )
+
+
+def _q_cocitation(spark, sf_dir):
+    return cocitation_pairs(
+        D.sparse_edges(spark, sf_dir), min_count=2, max_fanout=16
+    )
+
+
+def _q_coupling(spark, sf_dir):
+    return coupling_pairs(
+        D.sparse_edges(spark, sf_dir), min_count=1, max_fanout=16
+    )
+
+
+def _q_random_walks(spark, sf_dir):
+    # path as a '-'-joined string: arrays hash differently across engines,
+    # strings don't; start/order are already encoded in the path
+    w = random_walks(D.sparse_edges(spark, sf_dir), walk_length=4)
+    return w.select(
+        "walk_id",
+        "start",
+        F.concat_ws(
+            "-", F.transform(F.col("walk"), lambda x: x.cast("string"))
+        ).alias("path"),
+    )
+
+
+_EGO_SEEDS = [1, 2, 3]
+
+
+def _q_ego_network(spark, sf_dir):
+    return ego_network(D.sparse_edges(spark, sf_dir), seeds=_EGO_SEEDS, hops=2)
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    return dedup_clusters(_docs_with_dups(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -461,6 +512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": _q_events_props,
         "mm_decode_image": _q_multimodal_decode,
         "mm_frame_sample": _q_frame_sample,
+        "la_anf_reach": _q_anf_reach,
+        "la_cocitation_pairs": _q_cocitation,
+        "la_coupling_pairs": _q_coupling,
+        "smp_random_walks": _q_random_walks,
+        "smp_ego_network": _q_ego_network,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -495,6 +552,154 @@ def _minhash_sigs_sql(docs_expr: str) -> str:
         f"min(md5(tok || '#{i}')) AS s{i}" for i in range(4)
     )
     return f"SELECT doc_id, {aggs} FROM ({_toks_sql(docs_expr)}) GROUP BY doc_id"
+
+
+def _anf_sql(
+    edges_sql: str, rounds: int, num_sketches: int = 4, nibbles: int = 10
+) -> str:
+    """Twin of anf.anf_neighborhood (integer readout only): per-node FM
+    sketches seeded from md5 trailing zeros, unrolled OR-propagation rounds,
+    Σ lowest-zero-bit positions per h. Bit-for-bit = the Spark trajectory."""
+    rng = range(num_sketches)
+
+    def seed(r: int) -> str:
+        x = (
+            f"CAST('0x' || substr(md5(id::VARCHAR || '#{r}'), 1, {nibbles}) "
+            f"AS BIGINT)"
+        )
+        return (
+            f"(CAST(1 AS BIGINT) << (CASE WHEN {x} = 0 THEN {nibbles * 4} "
+            f"ELSE bit_count(({x} & (0 - {x})) - 1) END)) AS s{r}"
+        )
+
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "st0 AS (SELECT id, " + ", ".join(seed(r) for r in rng) + " FROM nodes)",
+    ]
+    for h in range(1, rounds + 1):
+        gs = ", ".join(f"bit_or(st.s{r}) AS g{r}" for r in rng)
+        parts.append(
+            f"gt{h} AS (SELECT e.src AS nid, {gs} FROM e "
+            f"JOIN st{h - 1} st ON e.dst = st.id GROUP BY e.src)"
+        )
+        cs = ", ".join(
+            f"coalesce(st.s{r} | g.g{r}, st.s{r}) AS s{r}" for r in rng
+        )
+        parts.append(
+            f"st{h} AS (SELECT st.id, {cs} FROM st{h - 1} st "
+            f"LEFT JOIN gt{h} g ON st.id = g.nid)"
+        )
+
+    def measure(h: int) -> str:
+        pos = " + ".join(
+            f"bit_count(((~s{r}) & (s{r} + 1)) - 1)" for r in rng
+        )
+        return (
+            f"SELECT CAST({h} AS INTEGER) AS h, "
+            f"CAST(sum({pos}) AS BIGINT) AS sum_positions FROM st{h}"
+        )
+
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " "
+        + " UNION ALL ".join(measure(h) for h in range(rounds + 1))
+    )
+
+
+def _cocite_sql(
+    edges_sql: str,
+    shared: str,
+    paired: str,
+    max_fanout: int,
+    min_count: int,
+    out_col: str,
+) -> str:
+    """Twin of cocitation._paired_on: distinct (shared, paired), drop shared
+    endpoints above the fanout cap, self-join a < b, pair counts."""
+    return (
+        f"WITH e AS (SELECT DISTINCT {shared} AS s, {paired} AS p "
+        f"FROM ({edges_sql})), "
+        f"keep AS (SELECT s FROM e GROUP BY s HAVING count(*) <= {max_fanout}), "
+        f"ek AS (SELECT e.s, e.p FROM e JOIN keep USING (s)) "
+        f"SELECT a.p AS a, b.p AS b, count(*) AS {out_col} "
+        f"FROM ek a JOIN ek b ON a.s = b.s AND a.p < b.p "
+        f"GROUP BY a.p, b.p HAVING count(*) >= {min_count}"
+    )
+
+
+def _walks_sql(edges_sql: str, walk_length: int) -> str:
+    """Twin of sampling.random_walks (walks_per_node=1): per step the next
+    hop is arg_min over md5(walk_id#step#dst) — identical hex in both
+    engines; sinks drop out of the frontier so walks truncate early."""
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "f0 AS (SELECT id AS walk_id, id AS cur FROM nodes)",
+        "s0 AS (SELECT walk_id, 0 AS step, cur AS node FROM f0)",
+    ]
+    for k in range(1, walk_length + 1):
+        parts.append(
+            f"f{k} AS (SELECT f.walk_id, arg_min(e.dst, "
+            f"md5(f.walk_id::VARCHAR || '#{k}#' || e.dst::VARCHAR)) AS cur "
+            f"FROM f{k - 1} f JOIN e ON f.cur = e.src GROUP BY f.walk_id)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT walk_id, {k} AS step, cur AS node FROM f{k})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{k}" for k in range(walk_length + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts) + f", steps AS ({union}) "
+        "SELECT walk_id, arg_min(node, step) AS start, "
+        "string_agg(node::VARCHAR, '-' ORDER BY step) AS path "
+        "FROM steps GROUP BY walk_id"
+    )
+
+
+def _ego_sql(edges_sql: str, seeds: list[int], hops: int) -> str:
+    """Twin of sampling.ego_network (directed): unrolled frontier expansion
+    then the induced-edge filter join."""
+    seed_vals = ", ".join(f"({int(s)})" for s in seeds)
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        f"v0 AS (SELECT CAST(id AS BIGINT) AS id FROM (VALUES {seed_vals}) t(id))",
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f"v{k} AS (SELECT id FROM v{k - 1} UNION "
+            f"SELECT e.dst AS id FROM e JOIN v{k - 1} v ON e.src = v.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT e.src, e.dst FROM e "
+        f"JOIN v{hops} a ON e.src = a.id JOIN v{hops} b ON e.dst = b.id"
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    """Twin of dedup.dedup_clusters: minhash-LSH candidate pairs (the same
+    band predicate as the dedup_minhash_pairs twin) → transitive closure →
+    min-label cluster ids → singleton fill-in via left join."""
+    return (
+        f"WITH RECURSIVE sigs AS ({_minhash_sigs_sql(_DOCS_DUPS)}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND "
+        "((a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3))), "
+        "sym(a, b) AS (SELECT id_a, id_b FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component "
+        "FROM reach GROUP BY a) "
+        "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id, "
+        "d.doc_id <> coalesce(c.component, d.doc_id) AS is_duplicate "
+        f"FROM (SELECT doc_id FROM ({_DOCS_DUPS})) d "
+        "LEFT JOIN comp c ON d.doc_id = c.doc_id"
+    )
 
 
 def _pagerank_fixed_sql(num_iterations: int, edges_sql: str | None = None) -> str:
@@ -1075,8 +1280,18 @@ def oracle_sql() -> dict[str, str]:
         "10)) AS frame_no FROM documents"
     )
     sqls["lp_labels"] = _label_prop_sql(5)
-    # omitted on purpose (no SQL twin; driver rows-only check):
-    #   p_pagerank_converged_top20 (iterative-until-converged),
-    #   dedup_simhash, dedup_simhash_pairs, knn_lsh_top5 (xxhash64 is
-    #   Spark-only)
+    sqls["la_anf_reach"] = _anf_sql(_SPARSE, rounds=3)
+    sqls["la_cocitation_pairs"] = _cocite_sql(
+        _SPARSE, "src", "dst", max_fanout=16, min_count=2,
+        out_col="cocitations",
+    )
+    sqls["la_coupling_pairs"] = _cocite_sql(
+        _SPARSE, "dst", "src", max_fanout=16, min_count=1,
+        out_col="couplings",
+    )
+    sqls["smp_random_walks"] = _walks_sql(_SPARSE, walk_length=4)
+    sqls["smp_ego_network"] = _ego_sql(_SPARSE, _EGO_SEEDS, hops=2)
+    sqls["dedup_clusters"] = _dedup_clusters_sql()
+    # every queries() key has a SQL twin (round-3 state: the former
+    # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
     return sqls

@@ -207,14 +207,19 @@ def derive_num_centroids(n: int) -> int:
 
 
 def derive_nprobe(num_centroids: int) -> int:
-    """nprobe = max(2, ⌈K/8⌉): probe ~1/8 of the cells.
+    """nprobe = max(2, ⌈K/6⌉): probe ~1/6 of the cells.
 
-    Probing K/8 of K cells scans ~(K/8)·(n/K) = n/8 candidates in
-    expectation — a constant 8× reduction over brute force that holds at
+    Probing K/6 of K cells scans ~(K/6)·(n/K) = n/6 candidates in
+    expectation — a constant 6× reduction over brute force that holds at
     any corpus size — while the floor of 2 keeps tiny corpora from
-    degenerating to a single cell. Measured recall@5 ≥ 0.93 at sf0.01
-    (K=22, nprobe=3) and recorded per-round in the bench JSON."""
-    return max(2, -(-num_centroids // 8))
+    degenerating to a single cell. The divisor is calibrated on the
+    SYNTHETIC near-uniform test embeddings (IVF's worst case — no cluster
+    structure for the cells to exploit): NumPy replication at sf0.1
+    (n=2000, K=44, 50 queries) measures recall@5 = 0.896 at K/8 but 0.916
+    at K/6 and 0.936 at K/4; K/6 is the cheapest divisor clearing the
+    ≥0.9 bar, and real (clustered) corpora only do better. Recorded
+    per-round in the bench JSON."""
+    return max(2, -(-num_centroids // 6))
 
 
 def ivf_centroids(

@@ -301,13 +301,14 @@ def test_derive_num_centroids_sqrt_clamped():
     assert derive_num_centroids(10**10) == 65536  # clamp: stays broadcastable
 
 
-def test_derive_nprobe_eighth_of_cells():
+def test_derive_nprobe_sixth_of_cells():
     from ps_projekt_pagerank_spark.operators.similarity import derive_nprobe
 
     assert derive_nprobe(2) == 2       # floor
-    assert derive_nprobe(16) == 2
-    assert derive_nprobe(22) == 3      # ceil(22/8), the sf0.01 derived K
-    assert derive_nprobe(65536) == 8192
+    assert derive_nprobe(12) == 2
+    assert derive_nprobe(22) == 4      # ceil(22/6), the sf0.01 derived K
+    assert derive_nprobe(44) == 8      # sf0.1's K: recall@5 0.916 measured
+    assert derive_nprobe(65536) == 10923
 
 
 def test_knn_ivf_auto_centroids(spark):
