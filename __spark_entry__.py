@@ -32,7 +32,14 @@ from ps_projekt_pagerank_spark.operators.cocitation import (
     coupling_pairs,
 )
 from ps_projekt_pagerank_spark.operators.dedup import dedup_clusters
-from ps_projekt_pagerank_spark.operators.sampling import ego_network, random_walks
+from ps_projekt_pagerank_spark.operators.graph import reciprocity
+from ps_projekt_pagerank_spark.operators.hostgraph import host_edges
+from ps_projekt_pagerank_spark.operators.sampling import (
+    ego_network,
+    random_walks,
+    stratified_sample,
+)
+from ps_projekt_pagerank_spark.operators.triangles import clustering_coefficient
 from ps_projekt_pagerank_spark.operators import similarity as sim
 from ps_projekt_pagerank_spark.operators.components import connected_components
 from ps_projekt_pagerank_spark.operators.labelprop import label_propagation
@@ -471,6 +478,31 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs_with_dups(spark, sf_dir))
 
 
+def _q_clustering_coef(spark, sf_dir):
+    return clustering_coefficient(D.sparse_edges(spark, sf_dir))
+
+
+def _q_reciprocity(spark, sf_dir):
+    return reciprocity(D.web_edges(spark, sf_dir))
+
+
+def _q_host_edges(spark, sf_dir):
+    return host_edges(D.url_edges(spark, sf_dir))
+
+
+_MIX_FRACTIONS = {"en": 0.5, "fr": 0.25, "zh": 0.1}  # de/es absent -> dropped
+
+
+def _q_stratified_sample(spark, sf_dir):
+    return stratified_sample(
+        D.documents(spark, sf_dir).select("doc_id", "lang", "source"),
+        "lang",
+        _MIX_FRACTIONS,
+        key_cols=["doc_id"],
+        salt="mix1",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -518,6 +550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_random_walks": _q_random_walks,
         "smp_ego_network": _q_ego_network,
         "dedup_clusters": _q_dedup_clusters,
+        "tri_clustering_coef": _q_clustering_coef,
+        "g_reciprocity": _q_reciprocity,
+        "s4_host_edges": _q_host_edges,
+        "smp_stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1292,6 +1328,55 @@ def oracle_sql() -> dict[str, str]:
     sqls["smp_random_walks"] = _walks_sql(_SPARSE, walk_length=4)
     sqls["smp_ego_network"] = _ego_sql(_SPARSE, _EGO_SEEDS, hops=2)
     sqls["dedup_clusters"] = _dedup_clusters_sql()
+    sqls["tri_clustering_coef"] = (
+        f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({_SPARSE}) WHERE src <> dst), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        "JOIN e e2 ON e1.b = e2.a "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        f"nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ({_SPARSE}) "
+        f"UNION ALL SELECT dst AS id FROM ({_SPARSE}))), "
+        "cnt AS (SELECT id, count(*) AS c FROM (SELECT x AS id FROM tri "
+        "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY id), "
+        "deg AS (SELECT id, count(*) AS d FROM (SELECT a AS id FROM e "
+        "UNION ALL SELECT b FROM e) GROUP BY id) "
+        "SELECT n.id, coalesce(deg.d, 0) AS degree, "
+        "coalesce(cnt.c, 0) AS triangles, "
+        "CASE WHEN coalesce(deg.d, 0) < 2 THEN 0.0 ELSE "
+        "round(2.0 * coalesce(cnt.c, 0) / (deg.d * (deg.d - 1)), 9) END "
+        "AS coefficient "
+        "FROM nodes n LEFT JOIN deg ON deg.id = n.id "
+        "LEFT JOIN cnt ON cnt.id = n.id"
+    )
+    sqls["g_reciprocity"] = (
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({_WEB}) "
+        "WHERE src <> dst) "
+        "SELECT (SELECT count(*) FROM e JOIN e e2 "
+        "ON e.src = e2.dst AND e.dst = e2.src) AS reciprocal_edges, "
+        "count(*) AS total_edges, "
+        "round((SELECT count(*) FROM e JOIN e e2 "
+        "ON e.src = e2.dst AND e.dst = e2.src) "
+        "/ CAST(count(*) AS DOUBLE), 9) AS reciprocity FROM e"
+    )
+    sqls["s4_host_edges"] = (
+        f"WITH h AS (SELECT "
+        "NULLIF(regexp_extract(src_url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') "
+        "AS src_host, "
+        "NULLIF(regexp_extract(dst_url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') "
+        f"AS dst_host FROM ({D.URL_EDGES_SQL})) "
+        "SELECT src_host, dst_host, count(*) AS weight FROM h "
+        "WHERE src_host IS NOT NULL AND dst_host IS NOT NULL "
+        "AND src_host <> dst_host GROUP BY src_host, dst_host"
+    )
+    _mix_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_FRACTIONS.items())
+    )
+    sqls["smp_stratified_sample"] = (
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE CAST('0x' || substr(md5(doc_id::VARCHAR || '#mix1'), 1, 8) "
+        "AS BIGINT) / 4294967296.0 "
+        f"< CASE lang {_mix_case} END"
+    )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
     return sqls

@@ -177,3 +177,32 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
         max_dst_rows=max_dst_rows,
         mean_dst_rows=round(num_adj_rows / max(n_dst, 1), 2),
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """1-row (reciprocal_edges, total_edges, reciprocity) — the fraction of
+    distinct non-loop directed edges whose reverse edge also exists (the
+    standard directed-web-graph symmetry statistic; ~25% on real web
+    crawls, near 0 on citation-style graphs).
+
+    Scale: one distinct over |E| plus one self-equi-join on the full
+    (src, dst) key — both plain hash shuffles on the edge key; the join
+    output is at most |E| rows, never quadratic.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count("*").alias("reciprocal_edges")
+    )
+    tot = e.agg(F.count("*").alias("total_edges"))
+    return rec.crossJoin(tot).select(
+        "reciprocal_edges",
+        "total_edges",
+        F.round(
+            F.col("reciprocal_edges") / F.col("total_edges").cast("double"), 9
+        ).alias("reciprocity"),
+    )

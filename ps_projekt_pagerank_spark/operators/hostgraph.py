@@ -1,0 +1,65 @@
+"""Host-level link graph — the page→host collapse every production web
+ranker runs before host PageRank / spam containment / per-site crawl
+budgeting. The host graph is typically 100-1000× smaller than the page
+graph, so collapsing FIRST and ranking hosts is the cheap way to get
+site-level authority at 100 TB (reference scope: the page-level pipeline
+of ps-projekt-pagerank; this is the north-rule web-scale extension of it).
+
+Spark-first design: ``parse_url(url, 'HOST')`` is a JVM built-in (no
+Python in the hot path); the collapse itself is ONE groupBy on
+(src_host, dst_host) — partial aggregation makes the shuffle carry host
+pairs (≈|hosts|² nonzero cells at most), not page edges. The weighted
+host edge list feeds ``operators.pagerank`` / ``operators.graph`` as-is,
+since every graph operator here keys on plain (src, dst) columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def host_of(url: Column) -> Column:
+    """Authority (host) component of an absolute URL; NULL when the value
+    has no parseable host (relative hrefs, fragments, garbage)."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def host_edges(
+    url_edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    keep_intra_host: bool = False,
+) -> DataFrame:
+    """(src_host, dst_host, weight LONG) — the page-level URL edge multiset
+    collapsed to weighted host pairs.
+
+    Rows where either URL has no parseable host are dropped (a relative
+    href asserts nothing about cross-site authority). Intra-host edges are
+    dropped by default — navigation self-links dominate raw counts and
+    carry no ranking signal — pass ``keep_intra_host=True`` to keep them
+    (e.g. for crawl-budget accounting, where self-links do cost fetches).
+    """
+    h = url_edges.select(
+        host_of(F.col(src_col)).alias("src_host"),
+        host_of(F.col(dst_col)).alias("dst_host"),
+    ).where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if not keep_intra_host:
+        h = h.where(F.col("src_host") != F.col("dst_host"))
+    return h.groupBy("src_host", "dst_host").agg(F.count("*").alias("weight"))
+
+
+def host_ids(host_edge_df: DataFrame) -> DataFrame:
+    """(host STRING, id LONG) — dense host→id dictionary built with the
+    same distributed range-partition + per-partition-offset numbering as
+    sources.extraction.url_dictionary (no single-partition window)."""
+    from ps_projekt_pagerank_spark.plans.positions import global_positions
+
+    hosts = (
+        host_edge_df.select(F.col("src_host").alias("host"))
+        .unionAll(host_edge_df.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    return global_positions(hosts, [F.col("host")]).select(
+        "host", (F.col("pos") - 1).alias("id")
+    )

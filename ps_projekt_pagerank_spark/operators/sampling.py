@@ -142,3 +142,43 @@ def ego_network(
     )
     walkable.unpersist(blocking=False)
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a row iff the
+    first 8 md5 nibbles of its key (a uniform 32-bit value) fall below its
+    stratum's fraction. Rows whose stratum is absent from ``fractions``
+    are dropped.
+
+    No RNG and no seed plumbing: the same row samples the same way at any
+    parallelism, on re-runs, and in any engine with md5 — exactly what a
+    resumable 100 TB corpus-mixing pipeline needs (language/source
+    rebalancing that backfills and incremental runs reproduce bit-for-bit;
+    ``salt`` gives independent draws for disjoint sampling passes).
+
+    Scale: a pure per-row filter — no shuffle, no state; Catalyst pushes
+    the stratum IN-list into the scan.
+    """
+    key_cols = key_cols or [df.columns[0]]
+    key = F.concat_ws(
+        "#", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)
+    )
+    # 32-bit integers are exact in doubles and /2^32 is a pure exponent
+    # shift, so the uniform — and the < comparison — is engine-exact
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        float(2**32)
+    )
+    frac = F.create_map(
+        *[
+            x
+            for k, v in sorted(fractions.items())
+            for x in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    return df.where(u < frac[F.col(strata_col)])

@@ -112,3 +112,42 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     return nodes.join(counts, "id", "left").select(
         "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, degree, triangles, coefficient) — local clustering coefficient
+    on the simple undirected view: c(v) = 2·t(v) / (deg(v)·(deg(v)−1)),
+    0.0 for degree < 2 (the Watts-Strogatz per-node statistic; on web
+    graphs the classic density probe for template/boilerplate link blocks).
+
+    ``coefficient`` is a single multiply/divide rounded to 9 dp, so any
+    engine reproduces it bit-for-bit from the same integer (triangles,
+    degree) pair. Scale: adds ONE hash agg (canonical degree) and a |V|-row
+    join on top of triangles_per_node's oriented-wedge plan — no new join
+    shape beyond what triangle counting already pays.
+    """
+    tri = triangles_per_node(edges)
+    e = canonical_edges(edges)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    # left join: self-loop-only nodes are in `tri` (degree 0) but have no
+    # canonical edge at all
+    return tri.join(deg, "id", "left").select(
+        "id",
+        F.coalesce("degree", F.lit(0)).alias("degree"),
+        "triangles",
+        F.when(F.coalesce("degree", F.lit(0)) < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                2.0
+                * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                9,
+            )
+        )
+        .alias("coefficient"),
+    )

@@ -103,3 +103,33 @@ def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+URL_HOST_MOD = 97
+
+URL_EDGES_SQL = (
+    "SELECT 'http://h' || (l_orderkey % 97)::VARCHAR || '.test/p' || "
+    "(l_orderkey % 4999)::VARCHAR AS src_url, "
+    "'http://h' || (l_partkey % 97)::VARCHAR || '.test/p' || "
+    "(l_partkey % 4999)::VARCHAR AS dst_url FROM lineitem"
+)
+
+
+def url_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_url, dst_url) — absolute-URL page edges (host = key % 97, path
+    = key % 4999): the host-graph-collapse fixture. Same modular derivation
+    as the id graphs, rendered as URLs."""
+    li = _lineitem(spark, sf_dir)
+
+    def mk(key):
+        return F.concat(
+            F.lit("http://h"),
+            (key % URL_HOST_MOD).cast("string"),
+            F.lit(".test/p"),
+            (key % SPARSE_MOD).cast("string"),
+        )
+
+    return li.select(
+        mk(F.col("l_orderkey")).alias("src_url"),
+        mk(F.col("l_partkey")).alias("dst_url"),
+    )
