@@ -112,6 +112,14 @@ def _q_pagerank_converged_top20(spark, sf_dir):
     return r.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
 
+def _q_salsa4(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.salsa import salsa
+
+    return salsa(D.web_edges(spark, sf_dir), iterations=4).select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
 def _q_hits4(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.hits import hits
 
@@ -490,6 +498,31 @@ def _q_host_edges(spark, sf_dir):
     return host_edges(D.url_edges(spark, sf_dir))
 
 
+def _q_dedup_survivors(spark, sf_dir):
+    docs = D.documents(spark, sf_dir).select("doc_id", "text", "n_chars")
+    dups = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars"
+    )
+    return dd.dedup_survivors(docs.unionAll(dups), quality_col="n_chars")
+
+
+def _q_anchor_summary(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.extraction import (
+        anchor_summary,
+        anchor_texts,
+    )
+
+    return anchor_summary(anchor_texts(_synthetic_pages(spark, sf_dir)))
+
+
+def _q_url_normalize(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.urls import normalize_url
+
+    return D.messy_urls(spark, sf_dir).select(
+        "url", normalize_url(F.col("url")).alias("norm_url")
+    )
+
+
 _MIX_FRACTIONS = {"en": 0.5, "fr": 0.25, "zh": 0.1}  # de/es absent -> dropped
 
 
@@ -514,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_pagerank_top10": _q_pagerank_top10,
         "p_pagerank_converged_top20": _q_pagerank_converged_top20,
         "hits4": _q_hits4,
+        "salsa4": _q_salsa4,
         "ppr_fixed4": _q_ppr_fixed4,
         "r_degree_dist": _q_degree_dist,
         "cc_components": _q_components,
@@ -554,6 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_reciprocity": _q_reciprocity,
         "s4_host_edges": _q_host_edges,
         "smp_stratified_sample": _q_stratified_sample,
+        "dedup_survivors": _q_dedup_survivors,
+        "s4_anchor_summary": _q_anchor_summary,
+        "text_url_normalize": _q_url_normalize,
     }
 
 
@@ -735,6 +772,39 @@ def _dedup_clusters_sql() -> str:
         "d.doc_id <> coalesce(c.component, d.doc_id) AS is_duplicate "
         f"FROM (SELECT doc_id FROM ({_DOCS_DUPS})) d "
         "LEFT JOIN comp c ON d.doc_id = c.doc_id"
+    )
+
+
+_DOCS_DUPS_Q = (
+    "SELECT doc_id, text, n_chars FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text, n_chars "
+    "FROM documents WHERE doc_id < 50"
+)
+
+
+def _dedup_survivors_sql() -> str:
+    """Twin of dedup.dedup_survivors over the quality-bearing dup corpus:
+    the dedup_clusters recursion plus the printf-key quality arg-max."""
+    return (
+        f"WITH RECURSIVE sigs AS ({_minhash_sigs_sql(_DOCS_DUPS_Q)}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND "
+        "((a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3))), "
+        "sym(a, b) AS (SELECT id_a, id_b FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component "
+        "FROM reach GROUP BY a), "
+        f"assign AS (SELECT d.doc_id, "
+        "coalesce(c.component, d.doc_id) AS cluster_id, d.n_chars "
+        f"FROM ({_DOCS_DUPS_Q}) d LEFT JOIN comp c ON d.doc_id = c.doc_id), "
+        "surv AS (SELECT cluster_id, CAST(substr(min(printf("
+        "'%019d#%020d', 1000000000000000000 - n_chars, doc_id)), 21) "
+        "AS BIGINT) AS survivor_id FROM assign GROUP BY cluster_id) "
+        "SELECT a.doc_id, a.cluster_id, s.survivor_id, "
+        "a.doc_id <> s.survivor_id AS is_duplicate "
+        "FROM assign a JOIN surv s ON a.cluster_id = s.cluster_id"
     )
 
 
@@ -1042,6 +1112,9 @@ def oracle_sql() -> dict[str, str]:
     from ps_projekt_pagerank_spark.operators.hits import hits_sql
 
     sqls["hits4"] = hits_sql(_WEB, 4)
+    from ps_projekt_pagerank_spark.operators.salsa import salsa_sql
+
+    sqls["salsa4"] = salsa_sql(_WEB, 4)
     sqls["ppr_fixed4"] = _ppr_fixed_sql(_PPR_SEEDS, 4)
     sqls["r_degree_dist"] = (
         f"WITH e AS ({_WEB}), "
@@ -1367,6 +1440,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT src_host, dst_host, count(*) AS weight FROM h "
         "WHERE src_host IS NOT NULL AND dst_host IS NOT NULL "
         "AND src_host <> dst_host GROUP BY src_host, dst_host"
+    )
+    sqls["dedup_survivors"] = _dedup_survivors_sql()
+    sqls["s4_anchor_summary"] = (
+        "WITH a AS (SELECT 'u' || (doc_id * 7 % 500)::VARCHAR AS dst_url, "
+        "'x' AS anchor FROM documents "
+        "UNION ALL SELECT 'u' || (doc_id * 13 % 500)::VARCHAR, 'y' "
+        "FROM documents), "
+        "c AS (SELECT dst_url, anchor, count(*) AS n FROM a "
+        "GROUP BY dst_url, anchor) "
+        "SELECT dst_url, CAST(sum(n) AS BIGINT) AS n_anchors, "
+        "count(*) AS n_unique_anchors, "
+        "substr(min(printf('%010d#%s', 999999999 - n, anchor)), 12) "
+        "AS top_anchor FROM c GROUP BY dst_url"
+    )
+    from ps_projekt_pagerank_spark.functions.urls import normalize_url_sql
+
+    sqls["text_url_normalize"] = (
+        f"SELECT url, {normalize_url_sql('url')} AS norm_url "
+        f"FROM ({D.MESSY_URLS_SQL})"
     )
     _mix_case = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_FRACTIONS.items())

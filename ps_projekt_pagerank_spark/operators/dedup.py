@@ -434,3 +434,42 @@ def dedup_clusters(
         )
         .withColumn("is_duplicate", F.col("doc_id") != F.col("cluster_id"))
     )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id, survivor_id, is_duplicate) — dedup_clusters
+    with the production survivor rule: keep the highest-QUALITY member of
+    each near-dup cluster (tie → smallest doc_id) instead of the smallest
+    id. ``quality_col`` must be integer-valued (e.g. n_chars, a token
+    count, or a pre-bucketed score) so the arg-max is engine-exact.
+
+    The per-cluster arg-max rides a printf sort key (inverted zero-padded
+    quality + zero-padded doc_id) resolved by ONE min() hash agg — no
+    window; clusters are near-dup-sized (tiny), so the agg never skews.
+    """
+    q = F.col(quality_col).cast("long")
+    clustered = dedup_clusters(
+        docs, text_col, pairs, num_hashes, rows_per_band, max_rounds
+    ).join(docs.select("doc_id", q.alias("_q")), "doc_id")
+    key = F.concat(
+        F.format_string("%019d", F.lit(10**18) - F.col("_q")),
+        F.lit("#"),
+        F.format_string("%020d", F.col("doc_id")),
+    )
+    surv = clustered.groupBy("cluster_id").agg(
+        F.substring(F.min(key), 21, 20).cast("long").alias("survivor_id")
+    )
+    return clustered.join(surv, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "survivor_id",
+        (F.col("doc_id") != F.col("survivor_id")).alias("is_duplicate"),
+    )

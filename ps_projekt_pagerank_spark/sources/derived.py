@@ -133,3 +133,41 @@ def url_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         mk(F.col("l_orderkey")).alias("src_url"),
         mk(F.col("l_partkey")).alias("dst_url"),
     )
+
+
+MESSY_URLS_SQL = (
+    "SELECT DISTINCT CASE l_linenumber % 4 "
+    "WHEN 0 THEN 'HTTP://H' || (l_orderkey % 97)::VARCHAR || '.Test:80/p' "
+    "|| (l_partkey % 4999)::VARCHAR || '#frag' "
+    "WHEN 1 THEN 'https://h' || (l_orderkey % 97)::VARCHAR || '.TEST:443/p' "
+    "|| (l_partkey % 4999)::VARCHAR "
+    "WHEN 2 THEN 'http://h' || (l_orderkey % 97)::VARCHAR || '.test' "
+    "ELSE 'u' || (l_partkey % 4999)::VARCHAR || '#x' END AS url "
+    "FROM lineitem"
+)
+
+
+def messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url) — distinct URL spellings with casing/default-port/fragment/
+    relative variants: the url-canonicalization fixture."""
+    li = _lineitem(spark, sf_dir)
+    ok = (F.col("l_orderkey") % URL_HOST_MOD).cast("string")
+    pk = (F.col("l_partkey") % SPARSE_MOD).cast("string")
+    url = (
+        F.when(
+            F.col("l_linenumber") % 4 == 0,
+            F.concat(
+                F.lit("HTTP://H"), ok, F.lit(".Test:80/p"), pk, F.lit("#frag")
+            ),
+        )
+        .when(
+            F.col("l_linenumber") % 4 == 1,
+            F.concat(F.lit("https://h"), ok, F.lit(".TEST:443/p"), pk),
+        )
+        .when(
+            F.col("l_linenumber") % 4 == 2,
+            F.concat(F.lit("http://h"), ok, F.lit(".test")),
+        )
+        .otherwise(F.concat(F.lit("u"), pk, F.lit("#x")))
+    )
+    return li.select(url.alias("url")).distinct()

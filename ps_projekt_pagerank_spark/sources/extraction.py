@@ -105,3 +105,76 @@ def pages_to_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full extraction: pages → (edges(src,dst), url_dict(url,id))."""
     d = url_dictionary(pages)
     return encode_edges(extract_href_edges(pages), d), d
+
+
+_AANCHOR = r'(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a\s*>'
+
+
+@F.pandas_udf(
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("href", T.StringType()),
+                T.StructField("anchor", T.StringType()),
+            ]
+        )
+    )
+)
+def extract_anchors_udf(html: pd.Series) -> pd.Series:
+    """[(href, raw inner html)] per page, document order. findall is the
+    vectorized pandas .str engine; the listcomp only reshapes its per-row
+    tuple lists into Arrow structs (no row-at-a-time UDF API anywhere)."""
+    found = html.str.decode("utf-8").str.findall(_AANCHOR)
+    return found.map(
+        lambda pairs: [{"href": h, "anchor": a} for h, a in pairs]
+    )
+
+
+def anchor_texts(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor, href_pos) — one row per anchor occurrence
+    in document order; ``anchor`` is the link's inner text cleaned with the
+    SAME pipeline as extract_text (tags stripped, the five standard
+    entities decoded, whitespace collapsed) but applied JVM-side — only the
+    regex findall runs in the Arrow UDF, the cleanup is pure built-ins.
+
+    Anchor text is the classic off-page ranking signal (what OTHER pages
+    call a target), which is why it aggregates by dst_url downstream."""
+    raw = pages.select(
+        F.col("url").alias("src_url"),
+        F.posexplode(extract_anchors_udf("html")).alias("href_pos", "pair"),
+    ).select(
+        "src_url",
+        F.col("pair.href").alias("dst_url"),
+        F.col("pair.anchor").alias("anchor"),
+        "href_pos",
+    )
+    a = F.regexp_replace(F.col("anchor"), _TAG, " ")
+    for ent, ch in _ENTITIES:
+        a = F.replace(a, F.lit(ent), F.lit(ch))
+    a = F.trim(F.regexp_replace(a, _WS, " "))
+    return raw.select("src_url", "dst_url", a.alias("anchor"), "href_pos")
+
+
+def anchor_summary(anchors: DataFrame) -> DataFrame:
+    """(dst_url, n_anchors, n_unique_anchors, top_anchor) — per link
+    target: total anchor occurrences, distinct anchor strings, and the
+    most frequent anchor (ties → lexicographically smallest).
+
+    The arg-max rides a printf sort key (inverted zero-padded count +
+    anchor) so ONE min() aggregate resolves it — no window, and the key is
+    byte-identical in any engine with printf, which keeps the DuckDB twin
+    hash-stable. Scale: two hash aggs keyed by dst_url — partial-agg
+    friendly, never wider than the distinct (dst_url, anchor) set."""
+    per_anchor = anchors.groupBy("dst_url", "anchor").agg(
+        F.count("*").alias("n")
+    )
+    key = F.concat(
+        F.format_string("%010d", F.lit(999999999) - F.col("n")),
+        F.lit("#"),
+        F.col("anchor"),
+    )
+    return per_anchor.groupBy("dst_url").agg(
+        F.sum("n").alias("n_anchors"),
+        F.count("*").alias("n_unique_anchors"),
+        F.substring(F.min(key), 12, 1 << 20).alias("top_anchor"),
+    )

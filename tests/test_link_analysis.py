@@ -92,3 +92,41 @@ def test_degree_distribution_counts(spark):
     }
     # node outdegs: 0->4, 1/2/4->1, 3->2, 5->0 (sink)
     assert got == {4: 1, 1: 3, 2: 1, 0: 1}
+
+
+def test_salsa_matches_numpy(spark):
+    from ps_projekt_pagerank_spark.operators.salsa import salsa
+
+    W = np.zeros((N, N))
+    for s, d in EDGES:
+        W[s, d] += 1.0
+    ind = W.sum(axis=0)
+    outd = W.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w_back = np.where(ind > 0, W / ind[None, :], 0.0)
+        w_fwd = np.where(outd[:, None] > 0, W / outd[:, None], 0.0)
+    auth = np.ones(N)
+    for _ in range(4):
+        hub = w_back @ auth
+        hub = hub / hub.max()
+        auth = w_fwd.T @ hub
+        auth = auth / auth.max()
+    got = {
+        r["id"]: (r["auth"], r["hub"]) for r in salsa(_edge_df(spark), 4).collect()
+    }
+    assert set(got) == set(range(N))
+    for i in range(N):
+        assert np.isclose(got[i][0], auth[i], atol=1e-9), ("auth", i)
+        assert np.isclose(got[i][1], hub[i], atol=1e-9), ("hub", i)
+    # SALSA's signature vs HITS: scores follow normalized degrees, so the
+    # sink node 5 still has auth > 0 while holding hub = 0
+    assert got[5][0] > 0 and got[5][1] == 0.0
+
+
+def test_salsa_rejects_zero_iterations(spark):
+    from ps_projekt_pagerank_spark.operators.salsa import salsa, salsa_sql
+
+    with pytest.raises(ValueError, match="iterations"):
+        salsa(_edge_df(spark), 0)
+    with pytest.raises(ValueError, match="iterations"):
+        salsa_sql("SELECT 1 AS src, 2 AS dst", 0)
