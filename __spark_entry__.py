@@ -523,6 +523,20 @@ def _q_url_normalize(spark, sf_dir):
     )
 
 
+def _q_kcore16(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.kcore import k_core
+
+    return k_core(D.sparse_edges(spark, sf_dir), k=16)
+
+
+def _q_host_rank4(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.hostgraph import host_pagerank
+
+    return host_pagerank(D.url_edges(spark, sf_dir), num_iterations=4).select(
+        "host", F.round("rank", 9).alias("rank")
+    )
+
+
 _MIX_FRACTIONS = {"en": 0.5, "fr": 0.25, "zh": 0.1}  # de/es absent -> dropped
 
 
@@ -591,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "s4_anchor_summary": _q_anchor_summary,
         "text_url_normalize": _q_url_normalize,
+        "g_kcore16": _q_kcore16,
+        "host_rank4": _q_host_rank4,
     }
 
 
@@ -773,6 +789,39 @@ def _dedup_clusters_sql() -> str:
         f"FROM (SELECT doc_id FROM ({_DOCS_DUPS})) d "
         "LEFT JOIN comp c ON d.doc_id = c.doc_id"
     )
+
+
+def _kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Twin of kcore.k_core: the peel loop unrolled to ``rounds`` filter
+    passes (MATERIALIZED — each round is referenced three times by the
+    next, so default inlining would re-expand the chain 3^rounds-fold)."""
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({edges_sql}) WHERE src <> dst)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT id FROM "
+            f"(SELECT a AS id FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}) "
+            f"GROUP BY id HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r - 1} e "
+            f"JOIN k{r} ka ON e.a = ka.id JOIN k{r} kb ON e.b = kb.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT DISTINCT id FROM "
+        f"(SELECT a AS id FROM e{rounds} UNION ALL SELECT b FROM e{rounds})"
+    )
+
+
+# host pair multiset (pre-collapse): weighted host PageRank over collapsed
+# weights == plain PageRank over this multiset, so the twin just unrolls it
+_HOST_MULTISET = (
+    "SELECT 'h' || (l_orderkey % 97)::VARCHAR || '.test' AS src, "
+    "'h' || (l_partkey % 97)::VARCHAR || '.test' AS dst FROM lineitem "
+    "WHERE (l_orderkey % 97) <> (l_partkey % 97)"
+)
 
 
 _DOCS_DUPS_Q = (
@@ -1442,6 +1491,12 @@ def oracle_sql() -> dict[str, str]:
         "AND src_host <> dst_host GROUP BY src_host, dst_host"
     )
     sqls["dedup_survivors"] = _dedup_survivors_sql()
+    # 5 peel rounds = the measured fixpoint for k=16 on the sf0.01 sparse
+    # graph (round 5 deletes nothing; Spark's counted loop stops there too)
+    sqls["g_kcore16"] = _kcore_sql(_SPARSE, k=16, rounds=5)
+    sqls["host_rank4"] = (
+        f"SELECT id AS host, rank FROM ({_pagerank_fixed_sql(4, _HOST_MULTISET)})"
+    )
     sqls["s4_anchor_summary"] = (
         "WITH a AS (SELECT 'u' || (doc_id * 7 % 500)::VARCHAR AS dst_url, "
         "'x' AS anchor FROM documents "

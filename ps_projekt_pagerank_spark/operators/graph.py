@@ -87,21 +87,38 @@ def sink_nodes(edges: DataFrame) -> DataFrame:
     )
 
 
-def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
+def build_graph(
+    edges: DataFrame,
+    partitions: int | None = None,
+    weight_col: str | None = None,
+) -> GraphTables:
     """Build the persisted node/adjacency tables for iterative algorithms.
 
     ``partitions`` pins the adjacency partition count (defaults to the
     session's shuffle partitions). At cluster scale this is where you size
     partitions so each holds O(100-500MB) of edges; the rank-state side of
     every iteration then hash-shuffles |V| rows to meet this layout.
+
+    ``weight_col`` names an integer edge-weight column for PRE-weighted
+    edge tables (e.g. the host-graph collapse, where weight = collapsed
+    page-edge count): adjacency weights sum it instead of counting rows,
+    and out-degrees become out-weight totals — exactly the multiset
+    semantics the unweighted path derives from duplicate rows, without
+    re-expanding the multiset.
     """
     spark = edges.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    if weight_col is None:
+        outdeg = out_degrees(edges)
+    else:
+        outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum(F.col(weight_col)).cast("long").alias("outdeg")
+        )
     # left join (not anti) so one pass carries outdeg and derives is_sink
     nodes = (
         node_ids(edges)
-        .join(out_degrees(edges), "id", "left")
+        .join(outdeg, "id", "left")
         .select(
             "id",
             F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
@@ -135,14 +152,18 @@ def build_graph(edges: DataFrame, partitions: int | None = None) -> GraphTables:
     # (src, sorted dst) — the in-memory columnar cache then RLE/delta
     # encodes the src column, shrinking the bytes every iteration re-scans
     id_t = "int" if narrow else "long"
+    w_agg = (
+        F.count("*") if weight_col is None else F.sum(F.col("_w"))
+    ).cast(id_t).alias("w")
     adj = (
         edges.select(
             F.col("src").cast(id_t).alias("src"),
             F.col("dst").cast(id_t).alias("dst"),
+            *([] if weight_col is None else [F.col(weight_col).alias("_w")]),
         )
         .repartition(p, "src")
         .groupBy("src", "dst")
-        .agg(F.count("*").cast(id_t).alias("w"))
+        .agg(w_agg)
         .sortWithinPartitions("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -63,3 +63,46 @@ def host_ids(host_edge_df: DataFrame) -> DataFrame:
     return global_positions(hosts, [F.col("host")]).select(
         "host", (F.col("pos") - 1).alias("id")
     )
+
+
+def host_pagerank(
+    url_edges: DataFrame,
+    num_iterations: int = 4,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """(host STRING, rank DOUBLE) — site-level authority: PageRank over
+    the weighted host graph (collapse first, rank 100-1000× fewer nodes).
+
+    The weighted run is EXACTLY the page-edge-multiset PageRank on host
+    nodes: build_graph(weight_col=...) sums the collapsed weights where
+    the unweighted path counts duplicate rows, so the DuckDB twin can
+    simply unroll plain PageRank over the uncollapsed host pair multiset.
+    """
+    from .graph import build_graph
+    from .pagerank import pagerank_fixed
+
+    he = host_edges(url_edges, src_col, dst_col)
+    ids = host_ids(he)
+    enc = (
+        he.join(
+            ids.select(
+                F.col("host").alias("src_host"), F.col("id").alias("src")
+            ),
+            "src_host",
+        )
+        .join(
+            ids.select(
+                F.col("host").alias("dst_host"), F.col("id").alias("dst")
+            ),
+            "dst_host",
+        )
+        .select("src", "dst", "weight")
+    )
+    g = build_graph(enc, weight_col="weight")
+    ranks = pagerank_fixed(enc, num_iterations, graph=g)
+    out = ranks.join(ids, "id").select("host", "rank").localCheckpoint(
+        eager=True
+    )
+    g.unpersist()
+    return out

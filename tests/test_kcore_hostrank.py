@@ -1,0 +1,105 @@
+"""k-core peeling vs a pure-Python replication; weighted build_graph vs
+the expanded multiset; host-level PageRank end-to-end."""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ps_projekt_pagerank_spark.operators.graph import build_graph
+from ps_projekt_pagerank_spark.operators.hostgraph import host_pagerank
+from ps_projekt_pagerank_spark.operators.kcore import k_core
+from ps_projekt_pagerank_spark.operators.pagerank import pagerank_fixed
+
+
+def _py_k_core(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for n in adj.pop(v):
+                adj[n].discard(v)
+            changed = True
+    return set(adj)
+
+
+# K5 clique + a pendant chain off node 0 + a separate triangle
+KCORE_EDGES = (
+    list(combinations(range(5), 2))
+    + [(0, 10), (10, 11), (11, 12)]
+    + [(20, 21), (21, 22), (22, 20)]
+)
+
+
+def test_k_core_matches_python_peel(spark):
+    df = spark.createDataFrame(KCORE_EDGES, "src LONG, dst LONG")
+    for k in (2, 3, 4, 5):
+        got = {r["id"] for r in k_core(df, k).collect()}
+        assert got == _py_k_core(KCORE_EDGES, k), k
+    # k=4: only the K5 clique survives (chain and triangle peel away)
+    assert {r["id"] for r in k_core(df, 4).collect()} == set(range(5))
+    # beyond the max coreness: empty, and k<1 rejected
+    assert k_core(df, 5).count() == 0
+    with pytest.raises(ValueError, match="k_core"):
+        k_core(df, 0)
+
+
+def test_weighted_build_graph_equals_expanded_multiset(spark):
+    # multigraph with duplicates vs its pre-collapsed weighted form
+    raw = [(0, 1), (0, 1), (0, 1), (1, 2), (2, 0), (2, 0), (3, 1)]
+    expanded = spark.createDataFrame(raw, "src LONG, dst LONG")
+    weighted = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in Counter(raw).items()],
+        "src LONG, dst LONG, weight LONG",
+    )
+    g = build_graph(weighted, weight_col="weight")
+    assert g.num_edges == len(raw)  # weights count as multiset edges
+    a = {
+        r["id"]: r["rank"]
+        for r in pagerank_fixed(expanded, 4).collect()
+    }
+    b = {
+        r["id"]: r["rank"]
+        for r in pagerank_fixed(weighted, 4, graph=g).collect()
+    }
+    assert set(a) == set(b)
+    for i in a:
+        assert a[i] == pytest.approx(b[i], abs=1e-12), i
+
+
+def test_host_pagerank_matches_host_id_pagerank(spark):
+    # page edges across 3 hosts (+ intra-host noise that must not count)
+    urls = [
+        ("http://a.test/1", "http://b.test/1"),
+        ("http://a.test/2", "http://b.test/9"),
+        ("http://b.test/1", "http://c.test/1"),
+        ("http://c.test/1", "http://a.test/1"),
+        ("http://a.test/1", "http://a.test/2"),  # intra-host: ignored
+    ]
+    df = spark.createDataFrame(urls, "src_url STRING, dst_url STRING")
+    got = {r["host"]: r["rank"] for r in host_pagerank(df, 4).collect()}
+
+    name_to_id = {"a.test": 0, "b.test": 1, "c.test": 2}
+    pairs = [
+        (name_to_id[s.split("/")[2]], name_to_id[d.split("/")[2]])
+        for s, d in urls
+        if s.split("/")[2] != d.split("/")[2]
+    ]
+    exp = {
+        r["id"]: r["rank"]
+        for r in pagerank_fixed(
+            spark.createDataFrame(pairs, "src LONG, dst LONG"), 4
+        ).collect()
+    }
+    assert set(got) == set(name_to_id)
+    for name, i in name_to_id.items():
+        assert got[name] == pytest.approx(exp[i], abs=1e-12), name
