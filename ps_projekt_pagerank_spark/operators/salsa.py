@@ -103,6 +103,9 @@ def salsa(
         )
         prev_h, prev_a = raw_h, raw_a
     out = auth.join(hub, "id")
+    # the final raw_a/raw_h checkpoints back `out`; wadj is already behind
+    # their lineage cut, so its cache can be dropped here
+    wadj.unpersist()
     if own_graph:
         g.unpersist()
     return out
