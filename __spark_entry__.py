@@ -537,6 +537,30 @@ def _q_host_rank4(spark, sf_dir):
     )
 
 
+def _q_scc_components(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(D.funnel_edges(spark, sf_dir))
+
+
+def _q_bowtie(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.scc import bow_tie
+
+    return bow_tie(D.funnel_edges(spark, sf_dir))
+
+
+def _q_adamic_adar(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.linkpredict import (
+        adamic_adar_pairs,
+    )
+
+    return adamic_adar_pairs(
+        D.sparse_edges(spark, sf_dir), min_common=2, max_fanout=16
+    ).select("a", "b", "common", F.round("aa", 6).alias("aa"))
+
+
 _MIX_FRACTIONS = {"en": 0.5, "fr": 0.25, "zh": 0.1}  # de/es absent -> dropped
 
 
@@ -607,6 +631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_normalize": _q_url_normalize,
         "g_kcore16": _q_kcore16,
         "host_rank4": _q_host_rank4,
+        "g_scc_components": _q_scc_components,
+        "g_bowtie_parts": _q_bowtie,
+        "lp_adamic_adar": _q_adamic_adar,
     }
 
 
@@ -1125,6 +1152,55 @@ def _label_prop_sql(rounds: int) -> str:
     return ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
 
 
+def _scc_ctes(edges_sql: str) -> str:
+    """Shared CTE prefix for the SCC / bow-tie twins: directed reachability
+    closure (recursive UNION keeps it a set), mutual pairs, and the
+    min-id-per-SCC labeling — the closed-form contract the iterative Spark
+    trim+forward/backward algorithm must land on."""
+    return (
+        f"WITH RECURSIVE raw AS ({edges_sql}), "
+        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst), "
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM raw "
+        "UNION ALL SELECT dst AS id FROM raw)), "
+        "reach(s, d) AS (SELECT src, dst FROM e "
+        "UNION SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d), "
+        "mutual AS (SELECT r1.s AS v, r1.d AS u FROM reach r1 "
+        "JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s), "
+        "scc AS (SELECT n.id, least(n.id, coalesce(min(m.u), n.id)) "
+        "AS component FROM nodes n LEFT JOIN mutual m ON m.v = n.id "
+        "GROUP BY n.id)"
+    )
+
+
+def _scc_sql(edges_sql: str) -> str:
+    return f"{_scc_ctes(edges_sql)} SELECT id, component FROM scc"
+
+
+def _bowtie_sql(edges_sql: str) -> str:
+    """Twin of scc.bow_tie: core = largest SCC (ties to the smaller
+    component id), IN/OUT via the directed closure, TENDRIL via an
+    undirected BFS closure from the core."""
+    return (
+        f"{_scc_ctes(edges_sql)}, "
+        "core AS (SELECT id FROM scc WHERE component = "
+        "(SELECT component FROM scc GROUP BY component "
+        "ORDER BY count(*) DESC, component ASC LIMIT 1)), "
+        "fwd AS (SELECT DISTINCT r.d AS id FROM reach r "
+        "WHERE r.s IN (SELECT id FROM core)), "
+        "bwd AS (SELECT DISTINCT r.s AS id FROM reach r "
+        "WHERE r.d IN (SELECT id FROM core)), "
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
+        "wreach(id) AS (SELECT id FROM core "
+        "UNION SELECT u.dst FROM wreach w JOIN und u ON u.src = w.id) "
+        "SELECT n.id, CASE "
+        "WHEN n.id IN (SELECT id FROM core) THEN 'CORE' "
+        "WHEN n.id IN (SELECT id FROM bwd) THEN 'IN' "
+        "WHEN n.id IN (SELECT id FROM fwd) THEN 'OUT' "
+        "WHEN n.id IN (SELECT id FROM wreach) THEN 'TENDRIL' "
+        "ELSE 'DISCONNECTED' END AS part FROM nodes n"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
@@ -1523,6 +1599,13 @@ def oracle_sql() -> dict[str, str]:
         "WHERE CAST('0x' || substr(md5(doc_id::VARCHAR || '#mix1'), 1, 8) "
         "AS BIGINT) / 4294967296.0 "
         f"< CASE lang {_mix_case} END"
+    )
+    sqls["g_scc_components"] = _scc_sql(D.FUNNEL_EDGES_SQL)
+    sqls["g_bowtie_parts"] = _bowtie_sql(D.FUNNEL_EDGES_SQL)
+    from ps_projekt_pagerank_spark.operators.linkpredict import adamic_adar_sql
+
+    sqls["lp_adamic_adar"] = adamic_adar_sql(
+        _SPARSE, min_common=2, max_fanout=16
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

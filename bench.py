@@ -335,11 +335,13 @@ def main_scaling():
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     all_runs = []
     best = {}
-    for cores in cores_pair:
-        env = dict(
-            os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_TRIPLE_K=scale_k
-        )
-        for _ in range(repeats):
+    env = dict(
+        os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_TRIPLE_K=scale_k
+    )
+    # interleave the levels A/B-style (repeat-major order) so time-varying
+    # host steal biases both parallelism levels equally within a session
+    for _ in range(repeats):
+        for cores in cores_pair:
             out = subprocess.run(
                 [sys.executable, __file__, "--pagerank-only", str(cores)],
                 capture_output=True, text=True, env=env, check=True,

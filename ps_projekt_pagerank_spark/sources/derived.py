@@ -135,6 +135,49 @@ def url_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_EDGES_SQL = (
+    # deliberate Broder bow-tie: a dense 200-node core cycle mass (lines
+    # ≡0 mod 5), IN nodes 1000+ pointing into it (≡1), core pointing at
+    # OUT nodes 2000+ (≡2), IN pointing at TENDRIL nodes 3000+ (≡3), and
+    # a disconnected bipartite block 4000+/4100+ (≡4)
+    "SELECT CASE l_linenumber % 5 "
+    "WHEN 0 THEN l_orderkey % 200 "
+    "WHEN 1 THEN 1000 + (l_orderkey % 300) "
+    "WHEN 2 THEN l_orderkey % 200 "
+    "WHEN 3 THEN 1000 + (l_orderkey % 300) "
+    "ELSE 4000 + (l_orderkey % 100) END AS src, "
+    "CASE l_linenumber % 5 "
+    "WHEN 0 THEN l_partkey % 200 "
+    "WHEN 1 THEN l_partkey % 200 "
+    "WHEN 2 THEN 2000 + (l_partkey % 300) "
+    "WHEN 3 THEN 3000 + (l_partkey % 150) "
+    "ELSE 4100 + (l_partkey % 100) END AS dst FROM lineitem"
+)
+
+
+def funnel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) — the bow-tie fixture: dense core SCC + IN/OUT fringes,
+    tendrils off IN, and a disconnected block (FUNNEL_EDGES_SQL twin)."""
+    li = _lineitem(spark, sf_dir)
+    ln = F.col("l_linenumber") % 5
+    ok, pk = F.col("l_orderkey"), F.col("l_partkey")
+    src = (
+        F.when(ln == 0, ok % 200)
+        .when(ln == 1, 1000 + (ok % 300))
+        .when(ln == 2, ok % 200)
+        .when(ln == 3, 1000 + (ok % 300))
+        .otherwise(4000 + (ok % 100))
+    )
+    dst = (
+        F.when(ln == 0, pk % 200)
+        .when(ln == 1, pk % 200)
+        .when(ln == 2, 2000 + (pk % 300))
+        .when(ln == 3, 3000 + (pk % 150))
+        .otherwise(4100 + (pk % 100))
+    )
+    return li.select(src.alias("src"), dst.alias("dst"))
+
+
 MESSY_URLS_SQL = (
     "SELECT DISTINCT CASE l_linenumber % 4 "
     "WHEN 0 THEN 'HTTP://H' || (l_orderkey % 97)::VARCHAR || '.Test:80/p' "
