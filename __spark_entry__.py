@@ -561,6 +561,16 @@ def _q_adamic_adar(spark, sf_dir):
     ).select("a", "b", "common", F.round("aa", 6).alias("aa"))
 
 
+def _q_repeated_ngrams(spark, sf_dir):
+    return tx.repeated_ngram_stats(
+        D.documents(spark, sf_dir).select("doc_id", "text")
+    )
+
+
+def _q_quality_filter(spark, sf_dir):
+    return tx.quality_filter(D.documents(spark, sf_dir).select("doc_id", "text"))
+
+
 _MIX_FRACTIONS = {"en": 0.5, "fr": 0.25, "zh": 0.1}  # de/es absent -> dropped
 
 
@@ -634,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_scc_components": _q_scc_components,
         "g_bowtie_parts": _q_bowtie,
         "lp_adamic_adar": _q_adamic_adar,
+        "text_repeated_ngrams": _q_repeated_ngrams,
+        "text_quality_filter": _q_quality_filter,
     }
 
 
@@ -1606,6 +1618,13 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["lp_adamic_adar"] = adamic_adar_sql(
         _SPARSE, min_common=2, max_fanout=16
+    )
+    _ngr = tx.repeated_ngram_sql("SELECT doc_id, text FROM documents")
+    sqls["text_repeated_ngrams"] = _ngr
+    sqls["text_quality_filter"] = (
+        f"SELECT doc_id, n_tokens, dup_ratio_2gr, dup_ratio_3gr, "
+        "(n_tokens >= 10 AND n_tokens <= 100000 AND dup_ratio_2gr <= 0.6 "
+        f"AND dup_ratio_3gr <= 0.4) AS keep FROM ({_ngr})"
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

@@ -165,6 +165,15 @@ def test_adamic_adar_matches_python(spark):
     assert got == _py_adamic_adar(pairs, 1, 10)
 
 
+def test_adamic_adar_plan_is_equijoin(spark):
+    """candidate generation must stay a per-center equi-join — a
+    CartesianProduct in the plan means the wedge join degenerated."""
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src LONG, dst LONG")
+    plan = adamic_adar_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_adamic_adar_rejects_bad_fanout(spark):
     df = spark.createDataFrame([(0, 1)], "src LONG, dst LONG")
     with pytest.raises(ValueError):
