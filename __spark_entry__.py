@@ -142,6 +142,14 @@ def _q_ppr_fixed4(spark, sf_dir):
     return r.select("id", F.round("rank", 9).alias("rank"))
 
 
+def _q_spam_mass(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.trustrank import spam_mass
+
+    return spam_mass(
+        D.web_edges(spark, sf_dir), trusted=_PPR_SEEDS, num_iterations=4
+    )
+
+
 def _q_degree_dist(spark, sf_dir):
     from ps_projekt_pagerank_spark.plans.reporting import degree_distribution
 
@@ -450,6 +458,15 @@ def _q_anf_reach(spark, sf_dir):
     )
 
 
+def _q_harmonic(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.anf import harmonic_centrality
+
+    # per-node floats ARE comparable here (unlike est_reach above): each
+    # round's estimate is rounded to 6 dp before the fixed-order
+    # telescoping sum, so both engines walk identical doubles
+    return harmonic_centrality(D.sparse_edges(spark, sf_dir), rounds=3)
+
+
 def _q_cocitation(spark, sf_dir):
     return cocitation_pairs(
         D.sparse_edges(spark, sf_dir), min_count=2, max_fanout=16
@@ -627,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_image": _q_multimodal_decode,
         "mm_frame_sample": _q_frame_sample,
         "la_anf_reach": _q_anf_reach,
+        "la_harmonic3": _q_harmonic,
         "la_cocitation_pairs": _q_cocitation,
         "la_coupling_pairs": _q_coupling,
         "smp_random_walks": _q_random_walks,
@@ -646,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_adamic_adar": _q_adamic_adar,
         "text_repeated_ngrams": _q_repeated_ngrams,
         "text_quality_filter": _q_quality_filter,
+        "tr_spam_mass": _q_spam_mass,
     }
 
 
@@ -734,6 +753,71 @@ def _anf_sql(
         + ", ".join(parts)
         + " "
         + " UNION ALL ".join(measure(h) for h in range(rounds + 1))
+    )
+
+
+def _harmonic_sql(
+    edges_sql: str, rounds: int, num_sketches: int = 4, nibbles: int = 10
+) -> str:
+    """Twin of anf.harmonic_centrality (direction='in'): the _anf_sql
+    sketch chain over REVERSED edges, then per node the telescoping
+    HyperBall sum Σ_h (E_h - E_{h-1})/h, each E_h looked up from the SAME
+    literal estimate table (indexed by the integer bit-position sum) and
+    the terms added in ascending h — doubles match Spark bit-for-bit."""
+    from ps_projekt_pagerank_spark.operators.anf import harmonic_est_table
+
+    rng = range(num_sketches)
+    # CAST to DOUBLE[] — bare decimal literals would make the list (and
+    # all downstream arithmetic) DECIMAL, diverging from Spark's doubles
+    tbl = "CAST([" + ", ".join(
+        repr(v) for v in harmonic_est_table(num_sketches, nibbles)
+    ) + "] AS DOUBLE[])"
+
+    def seed(r: int) -> str:
+        x = (
+            f"CAST('0x' || substr(md5(id::VARCHAR || '#{r}'), 1, {nibbles}) "
+            f"AS BIGINT)"
+        )
+        return (
+            f"(CAST(1 AS BIGINT) << (CASE WHEN {x} = 0 THEN {nibbles * 4} "
+            f"ELSE bit_count(({x} & (0 - {x})) - 1) END)) AS s{r}"
+        )
+
+    parts = [
+        f"e AS (SELECT DISTINCT dst AS src, src AS dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "st0 AS (SELECT id, " + ", ".join(seed(r) for r in rng) + " FROM nodes)",
+    ]
+    for h in range(1, rounds + 1):
+        gs = ", ".join(f"bit_or(st.s{r}) AS g{r}" for r in rng)
+        parts.append(
+            f"gt{h} AS (SELECT e.src AS nid, {gs} FROM e "
+            f"JOIN st{h - 1} st ON e.dst = st.id GROUP BY e.src)"
+        )
+        cs = ", ".join(
+            f"coalesce(st.s{r} | g.g{r}, st.s{r}) AS s{r}" for r in rng
+        )
+        parts.append(
+            f"st{h} AS (SELECT st.id, {cs} FROM st{h - 1} st "
+            f"LEFT JOIN gt{h} g ON st.id = g.nid)"
+        )
+    pos = " + ".join(f"bit_count(((~s{r}) & (s{r} + 1)) - 1)" for r in rng)
+    for h in range(rounds + 1):
+        parts.append(
+            f"m{h} AS (SELECT id, list_extract({tbl}, ({pos}) + 1) "
+            f"AS e{h} FROM st{h})"
+        )
+    terms = " + ".join(
+        f"(m{h}.e{h} - m{h - 1}.e{h - 1}) / {float(h)}"
+        for h in range(1, rounds + 1)
+    )
+    joins = " ".join(f"JOIN m{h} USING (id)" for h in range(1, rounds + 1))
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, floor(({terms}) * 1e6 + 0.5) / 1e6 AS harmonic "
+        + f"FROM m0 {joins}"
     )
 
 
@@ -1253,6 +1337,11 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["salsa4"] = salsa_sql(_WEB, 4)
     sqls["ppr_fixed4"] = _ppr_fixed_sql(_PPR_SEEDS, 4)
+    from ps_projekt_pagerank_spark.operators.trustrank import spam_mass_sql
+
+    sqls["tr_spam_mass"] = spam_mass_sql(
+        _pagerank_fixed_sql(4), _ppr_fixed_sql(_PPR_SEEDS, 4)
+    )
     sqls["r_degree_dist"] = (
         f"WITH e AS ({_WEB}), "
         "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
@@ -1527,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["lp_labels"] = _label_prop_sql(5)
     sqls["la_anf_reach"] = _anf_sql(_SPARSE, rounds=3)
+    sqls["la_harmonic3"] = _harmonic_sql(_SPARSE, rounds=3)
     sqls["la_cocitation_pairs"] = _cocite_sql(
         _SPARSE, "src", "dst", max_fanout=16, min_count=2,
         out_col="cocitations",

@@ -131,6 +131,102 @@ def _measure(state: DataFrame, h: int, scols: list[str]) -> DataFrame:
     ).select(F.lit(h).cast("int").alias("h"), "sum_positions", "est_reach")
 
 
+def harmonic_est_table(num_sketches: int, nibbles: int) -> list[float]:
+    """FM ball-size estimate per integer bit-position sum: TABLE[p] =
+    round(2^(p / R) / PHI, 6). Materialized as Python literals so every
+    engine (Spark, DuckDB, the pytest oracle) indexes the SAME doubles —
+    computing 2^(p/R) natively differs by 1 ulp across libm
+    implementations, which survives any decimal rounding at a boundary."""
+    cap = num_sketches * (nibbles * 4 + 1)  # lowest-zero-pos <= 4*nibbles+1
+    return [round(2.0 ** (p / num_sketches) / PHI, 6) for p in range(cap + 1)]
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    rounds: int,
+    num_sketches: int = 4,
+    nibbles: int = 10,
+    direction: str = "in",
+) -> DataFrame:
+    """(id, harmonic) — HyperBall harmonic centrality (Boldi & Vigna,
+    "In-Core Computation of Geometric Centralities with HyperBall", 2013):
+
+        H(x) = Σ_{y≠x} 1/d(y,x)  ≈  Σ_{h=1..rounds} (|B(x,h)| - |B(x,h-1)|)/h
+
+    with ball sizes estimated by the same md5-seeded Flajolet-Martin
+    sketches as anf_neighborhood. ``direction="in"`` measures reachability
+    INTO x (the Common Crawl host-ranking metric — edges are reversed so
+    each gather absorbs in-neighbors' balls); ``"out"`` uses forward balls.
+
+    Determinism: each per-round estimate comes from the shared literal
+    table (harmonic_est_table) indexed by the INTEGER bit-position sum,
+    and the telescoping terms are added in ascending h — an engine
+    replaying the integer sketch trajectory (the DuckDB twin) reproduces
+    the output bit-for-bit. Scale shape = one |E|-row bit_or join +
+    |V|-row left join per round, state is |V| × (R longs + 2 doubles).
+    """
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if direction == "in":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = e.distinct().repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    scols = [f"s{r}" for r in range(num_sketches)]
+    tbl = F.array(*[F.lit(v) for v in harmonic_est_table(num_sketches, nibbles)])
+
+    def est(cols=None) -> F.Column:
+        pos = None
+        for c in scols:
+            p = _lowest_zero_pos(F.col(c) if cols is None else cols[c])
+            pos = p if pos is None else pos + p
+        return F.element_at(tbl, pos + 1)
+
+    state = nodes.select(
+        "id",
+        *[_seed_bit(F.col("id"), r, nibbles).alias(c)
+          for r, c in enumerate(scols)],
+    )
+    state = state.select(
+        "id", *scols, est().alias("est"), F.lit(0.0).alias("harm")
+    ).localCheckpoint(eager=True)
+    for h in range(1, rounds + 1):
+        gathered = (
+            e.join(state, e["dst"] == state["id"])
+            .groupBy(F.col("src").alias("nid"))
+            .agg(*[F.bit_or(c).alias(f"g_{c}") for c in scols])
+        )
+        merged = {
+            c: F.coalesce(F.col(c).bitwiseOR(F.col(f"g_{c}")), F.col(c))
+            for c in scols
+        }
+        new_est = est(merged)
+        state = (
+            state.join(gathered, state["id"] == gathered["nid"], "left")
+            .select(
+                "id",
+                *[merged[c].alias(c) for c in scols],
+                new_est.alias("est"),
+                (F.col("harm") + (new_est - F.col("est")) / F.lit(float(h))
+                 ).alias("harm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    # floor(x*1e6 + 0.5)/1e6 instead of round(): every step is an IEEE
+    # double op, so any engine reproduces it bit-for-bit — round() is
+    # implemented differently across engines (BigDecimal vs multiply) and
+    # disagrees on doubles that sit just under a .5 decimal boundary
+    return state.select(
+        "id",
+        (F.floor(F.col("harm") * 1e6 + 0.5) / 1e6).alias("harmonic"),
+    )
+
+
 def effective_diameter(
     edges: DataFrame,
     max_rounds: int = 16,
