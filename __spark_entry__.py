@@ -467,6 +467,22 @@ def _q_harmonic(spark, sf_dir):
     return harmonic_centrality(D.sparse_edges(spark, sf_dir), rounds=3)
 
 
+def _q_katz(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.katz import katz_fixed
+
+    return katz_fixed(D.web_edges(spark, sf_dir), num_iterations=4)
+
+
+def _q_neighborhood_jaccard(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.cocitation import (
+        neighborhood_jaccard,
+    )
+
+    return neighborhood_jaccard(
+        D.sparse_edges(spark, sf_dir), min_common=2, max_fanout=16
+    )
+
+
 def _q_cocitation(spark, sf_dir):
     return cocitation_pairs(
         D.sparse_edges(spark, sf_dir), min_count=2, max_fanout=16
@@ -646,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "la_anf_reach": _q_anf_reach,
         "la_harmonic3": _q_harmonic,
         "la_cocitation_pairs": _q_cocitation,
+        "la_katz4": _q_katz,
+        "lp_neighborhood_jaccard": _q_neighborhood_jaccard,
         "la_coupling_pairs": _q_coupling,
         "smp_random_walks": _q_random_walks,
         "smp_ego_network": _q_ego_network,
@@ -1624,6 +1642,21 @@ def oracle_sql() -> dict[str, str]:
     sqls["la_coupling_pairs"] = _cocite_sql(
         _SPARSE, "dst", "src", max_fanout=16, min_count=1,
         out_col="couplings",
+    )
+    from ps_projekt_pagerank_spark.operators.katz import katz_sql
+
+    sqls["la_katz4"] = katz_sql(_WEB, 4)
+    sqls["lp_neighborhood_jaccard"] = (
+        f"WITH e0 AS (SELECT DISTINCT src, dst FROM ({_SPARSE})), "
+        "keep AS (SELECT src FROM e0 GROUP BY src HAVING count(*) <= 16), "
+        "ek AS (SELECT e0.src, e0.dst FROM e0 JOIN keep USING (src)), "
+        "p AS (SELECT a.dst AS a, b.dst AS b, count(*) AS common "
+        "FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "d AS (SELECT dst AS id, count(*) AS indeg FROM ek GROUP BY dst) "
+        "SELECT p.a, p.b, p.common, round(p.common / "
+        "CAST(da.indeg + db.indeg - p.common AS DOUBLE), 6) AS jaccard "
+        "FROM p JOIN d da ON p.a = da.id JOIN d db ON p.b = db.id"
     )
     sqls["smp_random_walks"] = _walks_sql(_SPARSE, walk_length=4)
     sqls["smp_ego_network"] = _ego_sql(_SPARSE, _EGO_SEEDS, hops=2)

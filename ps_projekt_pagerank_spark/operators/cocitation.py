@@ -55,6 +55,54 @@ def cocitation_pairs(
     )
 
 
+def neighborhood_jaccard(
+    edges: DataFrame, min_common: int = 2, max_fanout: int | None = 256
+) -> DataFrame:
+    """(a, b, common, jaccard) — "related pages" by in-neighborhood
+    overlap (Dean & Henzinger 1999's companion measure): jaccard =
+    |I(a) ∩ I(b)| / |I(a) ∪ I(b)|.
+
+    Both numerator (the co-citation count) and the degrees in the
+    denominator are computed over the SAME distinct, fanout-capped edge
+    set, so the ratio is internally consistent under the cap. Pairing
+    cost is bounded exactly like cocitation_pairs; the degree join is a
+    |V|-row broadcast-able dimension.
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_fanout is not None:
+        deg = e.groupBy("src").agg(F.count("*").alias("_d"))
+        e = e.join(
+            F.broadcast(deg.where(F.col("_d") > max_fanout).select("src")),
+            "src",
+            "left_anti",
+        )
+    a = e.select(F.col("src").alias("_s"), F.col("dst").alias("a"))
+    b = e.select(F.col("src").alias("_s2"), F.col("dst").alias("b"))
+    pairs = (
+        a.join(b, (F.col("_s") == F.col("_s2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    indeg = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("indeg")
+    )
+    return (
+        pairs.join(indeg.select(F.col("id").alias("a"), F.col("indeg").alias("_da")), "a")
+        .join(indeg.select(F.col("id").alias("b"), F.col("indeg").alias("_db")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("_da") + F.col("_db") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def coupling_pairs(
     edges: DataFrame, min_count: int = 1, max_fanout: int | None = 256
 ) -> DataFrame:
