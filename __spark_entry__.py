@@ -467,6 +467,12 @@ def _q_harmonic(spark, sf_dir):
     return harmonic_centrality(D.sparse_edges(spark, sf_dir), rounds=3)
 
 
+def _q_assortativity(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(D.sparse_edges(spark, sf_dir))
+
+
 def _q_katz(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.katz import katz_fixed
 
@@ -664,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "la_cocitation_pairs": _q_cocitation,
         "la_katz4": _q_katz,
         "lp_neighborhood_jaccard": _q_neighborhood_jaccard,
+        "g_assortativity": _q_assortativity,
         "la_coupling_pairs": _q_coupling,
         "smp_random_walks": _q_random_walks,
         "smp_ego_network": _q_ego_network,
@@ -1646,6 +1653,11 @@ def oracle_sql() -> dict[str, str]:
     from ps_projekt_pagerank_spark.operators.katz import katz_sql
 
     sqls["la_katz4"] = katz_sql(_WEB, 4)
+    from ps_projekt_pagerank_spark.operators.graph import (
+        degree_assortativity_sql,
+    )
+
+    sqls["g_assortativity"] = degree_assortativity_sql(_SPARSE)
     sqls["lp_neighborhood_jaccard"] = (
         f"WITH e0 AS (SELECT DISTINCT src, dst FROM ({_SPARSE})), "
         "keep AS (SELECT src FROM e0 GROUP BY src HAVING count(*) <= 16), "

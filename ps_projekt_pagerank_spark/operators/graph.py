@@ -227,3 +227,120 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             F.col("reciprocal_edges") / F.col("total_edges").cast("double"), 9
         ).alias("reciprocity"),
     )
+
+
+_ASSORT_PAIRS = [
+    ("out", "in", "so", "di"),  # THE web-graph number (Newman 2002 tab. I)
+    ("out", "out", "so", "do"),
+    ("in", "in", "si", "di"),
+    ("in", "out", "si", "do"),
+]
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """(src_deg, dst_deg, assortativity) — Newman (2002) directed degree
+    assortativity over edges, all four (src-degree, dst-degree) variants;
+    Pearson r of the endpoint-degree pairs, one row per variant.
+
+    Determinism: the five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    EXACT BIGINT aggregates — order-independent, so any engine reproduces
+    them bit-for-bit — and the closing Pearson expression is pure IEEE
+    double arithmetic (mul/sub/div/sqrt are all correctly rounded), so
+    the r values match across engines with no rounding tricks needed.
+    Bound: Σ deg·deg must fit int64 (true until ~10^9-degree hubs on
+    10^12-edge graphs; switch the moments to DOUBLE past that and accept
+    last-ulp nondeterminism).
+
+    Scale: two |E|-row degree aggs, four |V|-row equi-joins (left to
+    AQE — |V| can exceed broadcast size on a real crawl, and the two
+    src-keyed joins share one shuffle partitioning), one single-row
+    global agg; the 4 output rows come from exploding a literal array
+    over that row — the |E| pass happens once.
+    """
+    e = edges.select("src", "dst")
+    od = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    idg = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("d"))
+
+    def _deg(tbl: DataFrame, key: str, alias: str) -> DataFrame:
+        return tbl.select(F.col("id").alias(key), F.col("d").alias(alias))
+
+    x = (
+        e.join(_deg(od, "src", "so"), "src", "left")
+        .join(_deg(idg, "src", "si"), "src", "left")
+        .join(_deg(od, "dst", "do"), "dst", "left")
+        .join(_deg(idg, "dst", "di"), "dst", "left")
+        .select(
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("so", "si", "do", "di")
+            ]
+        )
+    )
+    aggs = [F.count("*").alias("n")]
+    for c in ("so", "si", "do", "di"):
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for _, _, a, b in _ASSORT_PAIRS:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = x.agg(*aggs)
+
+    def _r(a: str, b: str) -> F.Column:
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        va = F.col(f"ss_{a}").cast("double") * n - sa * sa
+        vb = F.col(f"ss_{b}").cast("double") * n - sb * sb
+        cov = F.col(f"sp_{a}_{b}").cast("double") * n - sa * sb
+        den = F.sqrt(va) * F.sqrt(vb)
+        return F.when(den > 0, cov / den)  # NULL when a side is constant
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(ls).alias("src_deg"),
+                F.lit(ld).alias("dst_deg"),
+                _r(a, b).alias("assortativity"),
+            )
+            for ls, ld, a, b in _ASSORT_PAIRS
+        ]
+    )
+    return (
+        m.select(F.explode(rows).alias("v"))
+        .select("v.src_deg", "v.dst_deg", "v.assortativity")
+    )
+
+
+def degree_assortativity_sql(edges_sql: str) -> str:
+    """DuckDB twin of degree_assortativity — identical BIGINT moments,
+    identical IEEE closing expression."""
+    selects = []
+    for ls, ld, a, b in _ASSORT_PAIRS:
+        va = f"(CAST(ss_{a} AS DOUBLE) * n - CAST(s_{a} AS DOUBLE) * s_{a})"
+        vb = f"(CAST(ss_{b} AS DOUBLE) * n - CAST(s_{b} AS DOUBLE) * s_{b})"
+        cov = f"(CAST(sp_{a}_{b} AS DOUBLE) * n - CAST(s_{a} AS DOUBLE) * s_{b})"
+        selects.append(
+            f"SELECT '{ls}' AS src_deg, '{ld}' AS dst_deg, "
+            f"CASE WHEN sqrt({va}) * sqrt({vb}) > 0 "
+            f"THEN {cov} / (sqrt({va}) * sqrt({vb})) END AS assortativity "
+            f"FROM m"
+        )
+    moment_cols = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in ("so", "si", "do", "di"):
+        moment_cols.append(f"sum(v_{c}) AS s_{c}")
+        moment_cols.append(f"sum(v_{c} * v_{c}) AS ss_{c}")
+    for _, _, a, b in _ASSORT_PAIRS:
+        moment_cols.append(f"sum(v_{a} * v_{b}) AS sp_{a}_{b}")
+    return (
+        f"WITH e AS (SELECT src, dst FROM ({edges_sql})), "
+        "od AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src), "
+        "idg AS (SELECT dst AS id, count(*) AS d FROM e GROUP BY dst), "
+        "x AS (SELECT CAST(COALESCE(o1.d, 0) AS BIGINT) AS v_so, "
+        "CAST(COALESCE(i1.d, 0) AS BIGINT) AS v_si, "
+        "CAST(COALESCE(o2.d, 0) AS BIGINT) AS v_do, "
+        "CAST(COALESCE(i2.d, 0) AS BIGINT) AS v_di "
+        "FROM e LEFT JOIN od o1 ON e.src = o1.id "
+        "LEFT JOIN idg i1 ON e.src = i1.id "
+        "LEFT JOIN od o2 ON e.dst = o2.id "
+        "LEFT JOIN idg i2 ON e.dst = i2.id), "
+        "m AS (SELECT " + ", ".join(moment_cols) + " FROM x) "
+        + " UNION ALL ".join(selects)
+    )
