@@ -172,6 +172,33 @@ def _q_labelprop(spark, sf_dir):
     return label_propagation(D.block_edges(spark, sf_dir), rounds=5)
 
 
+def _q_cc_size_hist(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.components import (
+        component_size_histogram,
+    )
+
+    return component_size_histogram(
+        connected_components(D.block_edges(spark, sf_dir))
+    )
+
+
+def _q_cc_summary(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.components import (
+        component_summary,
+    )
+
+    return component_summary(
+        connected_components(D.block_edges(spark, sf_dir))
+    )
+
+
+def _q_modularity_lp(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.modularity import modularity
+
+    block = D.block_edges(spark, sf_dir)
+    return modularity(block, label_propagation(block, rounds=5), "label")
+
+
 def _q_triangles(spark, sf_dir):
     return triangles_total(D.sparse_edges(spark, sf_dir))
 
@@ -639,6 +666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_degree_dist": _q_degree_dist,
         "cc_components": _q_components,
         "cc_star_components": _q_components_star,
+        "cc_size_hist": _q_cc_size_hist,
+        "cc_summary": _q_cc_summary,
+        "g_modularity_lp": _q_modularity_lp,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -1389,6 +1419,23 @@ def oracle_sql() -> dict[str, str]:
         "FROM nodes n LEFT JOIN reach r ON r.a = n.id GROUP BY n.id"
     )
     sqls["cc_star_components"] = sqls["cc_components"]
+    sqls["cc_size_hist"] = (
+        f"WITH cc AS ({sqls['cc_components']}) "
+        "SELECT size, count(*) AS n_components FROM "
+        "(SELECT component, count(*) AS size FROM cc GROUP BY component) "
+        "GROUP BY size"
+    )
+    sqls["cc_summary"] = (
+        f"WITH cc AS ({sqls['cc_components']}), "
+        "sz AS (SELECT component, count(*) AS size FROM cc GROUP BY component) "
+        "SELECT CAST(sum(size) AS BIGINT) AS n_nodes, "
+        "count(*) AS n_components, max(size) AS giant_size, "
+        "CAST(max(size) AS DOUBLE) / CAST(sum(size) AS DOUBLE) "
+        "AS giant_fraction FROM sz"
+    )
+    from ps_projekt_pagerank_spark.operators.modularity import modularity_sql
+
+    sqls["g_modularity_lp"] = modularity_sql(_BLOCK, _label_prop_sql(5))
     sqls["tri_total"] = (
         f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
         f"greatest(src, dst) AS b FROM ({_SPARSE}) WHERE src <> dst) "

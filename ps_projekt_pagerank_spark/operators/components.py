@@ -193,3 +193,49 @@ def connected_components_star(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def component_size_histogram(
+    labels: DataFrame, label_col: str = "component"
+) -> DataFrame:
+    """(size BIGINT, n_components BIGINT) — how many components have each
+    member count. The power-law sanity report any web-graph pipeline runs
+    right after CC (Broder et al., WWW'00 report exactly this table).
+
+    Scale: two hash aggregations — |V| rows → |C| rows → |distinct size|
+    rows, both map-side combinable; no joins, no windows.
+    """
+    return (
+        labels.groupBy(F.col(label_col).alias("_c"))
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+def component_summary(
+    labels: DataFrame, label_col: str = "component"
+) -> DataFrame:
+    """One row (n_nodes, n_components, giant_size, giant_fraction) — the
+    giant-component headline number (fraction of nodes in the largest
+    component). giant_fraction is one IEEE int64/int64 division, so any
+    engine reproduces it bit-for-bit.
+
+    Scale: one |V|-row hash agg to |C| rows, then a single-row global agg.
+    """
+    sizes = labels.groupBy(F.col(label_col).alias("_c")).agg(
+        F.count("*").alias("size")
+    )
+    return sizes.agg(
+        F.sum("size").alias("n_nodes"),
+        F.count("*").alias("n_components"),
+        F.max("size").alias("giant_size"),
+    ).select(
+        "n_nodes",
+        "n_components",
+        "giant_size",
+        (
+            F.col("giant_size").cast("double")
+            / F.col("n_nodes").cast("double")
+        ).alias("giant_fraction"),
+    )
