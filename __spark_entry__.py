@@ -192,6 +192,30 @@ def _q_cc_summary(spark, sf_dir):
     )
 
 
+_BFS_SEEDS = [0, 17]
+
+
+def _q_bfs_distances(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.bfs import bfs_distances
+
+    return bfs_distances(
+        D.sparse_edges(spark, sf_dir), seeds=_BFS_SEEDS, max_depth=4
+    )
+
+
+def _q_bfs_hopplot(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.bfs import (
+        bfs_distances,
+        distance_histogram,
+    )
+
+    return distance_histogram(
+        bfs_distances(
+            D.sparse_edges(spark, sf_dir), seeds=_BFS_SEEDS, max_depth=4
+        )
+    )
+
+
 def _q_modularity_lp(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.modularity import modularity
 
@@ -669,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_size_hist": _q_cc_size_hist,
         "cc_summary": _q_cc_summary,
         "g_modularity_lp": _q_modularity_lp,
+        "g_bfs_dist4": _q_bfs_distances,
+        "g_bfs_hopplot": _q_bfs_hopplot,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -1436,6 +1462,13 @@ def oracle_sql() -> dict[str, str]:
     from ps_projekt_pagerank_spark.operators.modularity import modularity_sql
 
     sqls["g_modularity_lp"] = modularity_sql(_BLOCK, _label_prop_sql(5))
+    from ps_projekt_pagerank_spark.operators.bfs import bfs_distances_sql
+
+    sqls["g_bfs_dist4"] = bfs_distances_sql(_SPARSE, _BFS_SEEDS, 4)
+    sqls["g_bfs_hopplot"] = (
+        f"WITH d AS ({bfs_distances_sql(_SPARSE, _BFS_SEEDS, 4)}) "
+        "SELECT dist, count(*) AS n_nodes FROM d GROUP BY dist"
+    )
     sqls["tri_total"] = (
         f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
         f"greatest(src, dst) AS b FROM ({_SPARSE}) WHERE src <> dst) "
