@@ -192,6 +192,36 @@ def _q_cc_summary(spark, sf_dir):
     )
 
 
+def _q_chunk_dup_stats(spark, sf_dir):
+    return dd.chunk_dup_stats(
+        D.documents(spark, sf_dir).select("doc_id", "text"), chunk_tokens=16
+    )
+
+
+def _q_weighted_sample(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.sampling import (
+        weighted_bernoulli_sample,
+    )
+
+    docs = D.documents(spark, sf_dir).select(
+        "doc_id",
+        F.least(
+            F.lit(1.0), F.col("n_chars").cast("double") / F.lit(500.0)
+        ).alias("keep_p"),
+    )
+    return weighted_bernoulli_sample(
+        docs, "keep_p", key_cols=["doc_id"], salt="mix1"
+    )
+
+
+def _q_quantize_embeddings(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(D.embeddings(spark, sf_dir))
+
+
 _BFS_SEEDS = [0, 17]
 
 
@@ -695,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_modularity_lp": _q_modularity_lp,
         "g_bfs_dist4": _q_bfs_distances,
         "g_bfs_hopplot": _q_bfs_hopplot,
+        "dedup_chunk_stats": _q_chunk_dup_stats,
+        "smp_weighted_sample": _q_weighted_sample,
+        "emb_quantize_int8": _q_quantize_embeddings,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -1468,6 +1501,25 @@ def oracle_sql() -> dict[str, str]:
     sqls["g_bfs_hopplot"] = (
         f"WITH d AS ({bfs_distances_sql(_SPARSE, _BFS_SEEDS, 4)}) "
         "SELECT dist, count(*) AS n_nodes FROM d GROUP BY dist"
+    )
+    from ps_projekt_pagerank_spark.operators.dedup import chunk_dup_stats_sql
+
+    sqls["dedup_chunk_stats"] = chunk_dup_stats_sql(
+        "SELECT doc_id, text FROM documents", 16
+    )
+    sqls["smp_weighted_sample"] = (
+        "WITH d AS (SELECT doc_id, least(1.0, CAST(n_chars AS DOUBLE) / "
+        "500.0) AS keep_p FROM documents) "
+        "SELECT doc_id, keep_p FROM d WHERE "
+        "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix1'), "
+        "1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 < keep_p"
+    )
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        quantize_embeddings_sql,
+    )
+
+    sqls["emb_quantize_int8"] = quantize_embeddings_sql(
+        "SELECT vec_id, embedding FROM embeddings"
     )
     sqls["tri_total"] = (
         f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "

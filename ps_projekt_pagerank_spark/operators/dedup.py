@@ -473,3 +473,92 @@ def dedup_survivors(
         "survivor_id",
         (F.col("doc_id") != F.col("survivor_id")).alias("is_duplicate"),
     )
+
+
+def chunk_dup_stats(
+    docs: DataFrame, text_col: str = "text", chunk_tokens: int = 16
+) -> DataFrame:
+    """(doc_id, n_chunks, dup_chunks, dup_fraction) — CCNet-style
+    chunk-level duplication: split each document into non-overlapping
+    ``chunk_tokens``-token chunks, hash each chunk, and report per
+    document how many of its chunks also occur elsewhere in the corpus
+    (corpus frequency > 1). The paragraph/line-dedup signal an LLM
+    training pipeline filters boilerplate with (CCNet, Wenzek et al.
+    2020) — the corpus here has no newlines, so fixed-token chunks stand
+    in for lines.
+
+    Docs shorter than one chunk get n_chunks = 0 and a NULL fraction.
+    dup_fraction is one IEEE int64/int64 division — engine-exact.
+
+    Scale: one explode to ~|tokens|/chunk_tokens rows, a map-side-
+    combinable hash agg for corpus chunk frequencies, one equi-join on
+    the chunk hash (AQE handles the hot boilerplate chunks), and a
+    per-doc agg. Nothing quadratic; no windows.
+    """
+    w = int(chunk_tokens)
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("toks")
+    )
+    n = F.floor(F.size("toks") / w).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i * w + 1, F.lit(w))
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("chunks"),
+    )
+    ch = chunks.select(
+        "doc_id", F.explode("chunks").alias("chunk")
+    ).select("doc_id", F.md5(F.col("chunk").cast("binary")).alias("h"))
+    freq = ch.groupBy("h").agg(F.count("*").alias("c"))
+    per = (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("c") > 1).cast("long")).alias("dup_chunks"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0).cast("long")).alias("n_chunks"),
+        F.coalesce("dup_chunks", F.lit(0).cast("long")).alias("dup_chunks"),
+        F.when(
+            F.coalesce("n_chunks", F.lit(0).cast("long")) > 0,
+            F.col("dup_chunks").cast("double")
+            / F.col("n_chunks").cast("double"),
+        ).alias("dup_fraction"),
+    )
+
+
+def chunk_dup_stats_sql(docs_sql: str, chunk_tokens: int = 16) -> str:
+    """DuckDB twin of chunk_dup_stats — identical chunking (list_slice ==
+    Spark slice on the verified single-spaced corpus), identical BIGINT
+    moments, identical IEEE division."""
+    w = int(chunk_tokens)
+    return (
+        f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        f"FROM ({docs_sql})), "
+        f"base AS (SELECT doc_id, CAST(floor(len(toks) / {w}) AS INT) "
+        "AS nc, toks FROM d), "
+        "ch AS (SELECT doc_id, md5(array_to_string("
+        f"list_slice(toks, i * {w} + 1, i * {w} + {w}), ' ')) AS h "
+        "FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM base)), "
+        "freq AS (SELECT h, count(*) AS c FROM ch GROUP BY h), "
+        "per AS (SELECT doc_id, count(*) AS n_chunks, "
+        "CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS "
+        "dup_chunks FROM ch JOIN freq USING (h) GROUP BY doc_id) "
+        "SELECT b.doc_id, coalesce(p.n_chunks, 0) AS n_chunks, "
+        "coalesce(p.dup_chunks, 0) AS dup_chunks, "
+        "CASE WHEN coalesce(p.n_chunks, 0) > 0 THEN "
+        "CAST(p.dup_chunks AS DOUBLE) / CAST(p.n_chunks AS DOUBLE) END "
+        "AS dup_fraction "
+        "FROM base b LEFT JOIN per p USING (doc_id)"
+    )

@@ -182,3 +182,31 @@ def stratified_sample(
         ]
     )
     return df.where(u < frac[F.col(strata_col)])
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    prob_col: str,
+    key_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff its md5-uniform
+    draw falls below the row's OWN keep probability (a double in [0,1] —
+    e.g. a quality score). The continuous-weight sibling of
+    ``stratified_sample``'s fixed per-stratum fractions: this is how a
+    corpus-mixing pipeline upsamples high-quality documents (keep p=1)
+    while thinning boilerplate (keep p=0.1) in one pass.
+
+    Same determinism contract as stratified_sample: no RNG, the same row
+    samples identically at any parallelism, on re-runs, and in any engine
+    with md5; ``salt`` gives independent draws per pass. Scale: a pure
+    per-row filter — no shuffle, no state.
+    """
+    key_cols = key_cols or [df.columns[0]]
+    key = F.concat_ws(
+        "#", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)
+    )
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        float(2**32)
+    )
+    return df.where(u < F.col(prob_col).cast("double"))
