@@ -192,6 +192,18 @@ def _q_cc_summary(spark, sf_dir):
     )
 
 
+def _q_lm_surprisal(spark, sf_dir):
+    return tx.lm_surprisal_stats(
+        D.documents(spark, sf_dir).select("doc_id", "text")
+    )
+
+
+def _q_tfidf_top5(spark, sf_dir):
+    return tx.tfidf_top_terms(
+        D.documents(spark, sf_dir).select("doc_id", "text"), k=5
+    )
+
+
 def _q_chunk_dup_stats(spark, sf_dir):
     return dd.chunk_dup_stats(
         D.documents(spark, sf_dir).select("doc_id", "text"), chunk_tokens=16
@@ -728,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
+        "text_lm_surprisal": _q_lm_surprisal,
+        "text_tfidf_top5": _q_tfidf_top5,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -1520,6 +1534,12 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["emb_quantize_int8"] = quantize_embeddings_sql(
         "SELECT vec_id, embedding FROM embeddings"
+    )
+    sqls["text_lm_surprisal"] = tx.lm_surprisal_sql(
+        "SELECT doc_id, text FROM documents"
+    )
+    sqls["text_tfidf_top5"] = tx.tfidf_top_terms_sql(
+        "SELECT doc_id, text FROM documents", 5
     )
     sqls["tri_total"] = (
         f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "

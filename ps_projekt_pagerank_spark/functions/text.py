@@ -180,3 +180,153 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(
         F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")).cast("binary")
     )
+
+
+def lm_surprisal_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, mean_token_freq, bits_per_token) — unigram
+    language-model scoring against the corpus's own token distribution,
+    the CCNet/Gopher-style "how surprising is this document" filter signal:
+
+    - mean_token_freq: mean over token OCCURRENCES of corpus probability
+      c(t)/N — boilerplate scores high, rare-token gibberish scores low.
+    - bits_per_token: mean floor(log2(N / c(t))) — integer-quantized
+      unigram surprisal (1-bit resolution perplexity proxy).
+
+    Determinism contract: floor(log2(N/c)) is computed as
+    length(bin(N div c)) - 1 — pure int64 ops (floor(log2(floor(x))) ==
+    floor(log2(x)) for x >= 1), NO floating log anywhere, so any engine
+    reproduces every row bit-for-bit; the two means are single IEEE
+    divisions of exact BIGINT moments. The price is the 1-bit surprisal
+    resolution, which the filter use-case doesn't feel.
+
+    Scale: one token explode, one |vocab|-row count agg (map-side
+    combinable), a broadcast scalar for N, one |tokens|-row equi-join on
+    the term (AQE salts the stopword hot keys), one per-doc agg.
+    """
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.lower(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    cnt = occ.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = cnt.agg(F.sum("c").alias("n_corpus"))
+    j = occ.join(cnt, "tok").crossJoin(F.broadcast(n_total))
+    per = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("c").alias("sum_c"),
+        F.sum(
+            F.length(F.bin(F.expr("n_corpus div c"))).cast("long") - 1
+        ).alias("sum_bits"),
+        F.max("n_corpus").alias("n_corpus"),
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        (
+            F.col("sum_c").cast("double")
+            / F.col("n_corpus").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("mean_token_freq"),
+        (
+            F.col("sum_bits").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("bits_per_token"),
+    )
+
+
+def lm_surprisal_sql(docs_sql: str) -> str:
+    """DuckDB twin — identical bin/div integer chain and IEEE divisions."""
+    return (
+        f"WITH d AS (SELECT doc_id, text FROM ({docs_sql})), "
+        "occ AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) "
+        "AS tok FROM d), "
+        "occ2 AS (SELECT doc_id, tok FROM occ WHERE tok <> ''), "
+        "cnt AS (SELECT tok, count(*) AS c FROM occ2 GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM cnt), "
+        "j AS (SELECT doc_id, c, n_corpus FROM occ2 JOIN cnt USING (tok) "
+        "CROSS JOIN tot), "
+        "per AS (SELECT doc_id, count(*) AS n_tokens, "
+        "CAST(sum(c) AS BIGINT) AS sum_c, "
+        "CAST(sum(length(bin(n_corpus // c)) - 1) AS BIGINT) AS sum_bits, "
+        "max(n_corpus) AS n_corpus FROM j GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
+        "CAST(p.sum_c AS DOUBLE) / CAST(p.n_corpus AS DOUBLE) / "
+        "CAST(p.n_tokens AS DOUBLE) AS mean_token_freq, "
+        "CAST(p.sum_bits AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS "
+        "bits_per_token "
+        "FROM d LEFT JOIN per p USING (doc_id)"
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(doc_id, term, tf, df, idf_bits, score, term_rank) — the top-k
+    characteristic terms per document by tf-idf with an integer-quantized
+    idf: idf_bits = floor(log2(N_docs / df)) (same exact bin/div chain as
+    ``lm_surprisal_stats`` — no floating log, engine-exact), score =
+    tf * idf_bits as BIGINT, ties broken by term ascending. Terms in more
+    than half the corpus get idf_bits 0 and never rank — the stopword
+    suppression tf-idf exists for.
+
+    Scale: token explode, (doc, term) and term-df hash aggs, broadcast
+    scalar N_docs, and a per-doc window (partitioned by doc_id — each
+    partition is one document's vocabulary, never a global sort).
+    """
+    from pyspark.sql import Window
+
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.lower(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.length(F.bin(F.expr("n_docs div df"))).cast("long") - 1
+            ).alias("idf_bits"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "idf_bits",
+            (F.col("tf") * F.col("idf_bits")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(
+            "*", F.row_number().over(w).alias("term_rank")
+        ).where(F.col("term_rank") <= int(k))
+    )
+
+
+def tfidf_top_terms_sql(docs_sql: str, k: int = 5) -> str:
+    """DuckDB twin — identical aggs, idf chain, and window ordering."""
+    return (
+        f"WITH d AS (SELECT doc_id, text FROM ({docs_sql})), "
+        "occ AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) "
+        "AS term FROM d), "
+        "occ2 AS (SELECT doc_id, term FROM occ WHERE term <> ''), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM occ2 "
+        "GROUP BY doc_id, term), "
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "nd AS (SELECT count(*) AS n_docs FROM d), "
+        "scored AS (SELECT doc_id, term, tf, df, "
+        "CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_bits "
+        "FROM tf JOIN dfq USING (term) CROSS JOIN nd), "
+        "ranked AS (SELECT doc_id, term, tf, df, idf_bits, "
+        "tf * idf_bits AS score, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY tf * idf_bits DESC, term ASC) AS term_rank FROM scored) "
+        "SELECT doc_id, term, tf, df, idf_bits, score, term_rank "
+        f"FROM ranked WHERE term_rank <= {int(k)}"
+    )

@@ -1,0 +1,123 @@
+"""Unigram LM surprisal stats and tf-idf top terms vs pure-Python
+replications and the DuckDB twins (everything integer-exact: the
+floor(log2) chain uses bin/div, never a floating log)."""
+
+import math
+from collections import Counter
+
+import duckdb
+
+from ps_projekt_pagerank_spark.functions.text import (
+    lm_surprisal_stats,
+    lm_surprisal_sql,
+    tfidf_top_terms,
+    tfidf_top_terms_sql,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "quantum chromodynamics lattice gauge"),
+    (3, "the the the the"),
+]
+
+
+def _py_lm(docs):
+    occ = [(i, t) for i, txt in docs for t in txt.lower().split(" ") if t]
+    cnt = Counter(t for _, t in occ)
+    n = sum(cnt.values())
+    out = {}
+    for did, _ in docs:
+        toks = [t for i, t in occ if i == did]
+        if not toks:
+            out[did] = (0, None, None)
+            continue
+        sum_c = sum(cnt[t] for t in toks)
+        sum_bits = sum(int(math.log2(n // cnt[t])) for t in toks)
+        out[did] = (
+            len(toks),
+            float(sum_c) / n / len(toks),
+            float(sum_bits) / len(toks),
+        )
+    return out
+
+
+def test_lm_surprisal_matches_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_token_freq"], r["bits_per_token"])
+        for r in lm_surprisal_stats(df).collect()
+    }
+    assert got == _py_lm(DOCS)
+    # rare-token doc is more surprising than the stopword doc
+    assert got[2][2] > got[3][2]
+
+
+def test_lm_surprisal_duckdb_twin(spark):
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_token_freq"], r["bits_per_token"])
+        for r in lm_surprisal_stats(df).collect()
+    }
+    values = ", ".join(f"({i}, '{t}')" for i, t in DOCS)
+    sql = lm_surprisal_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
+
+
+def _py_tfidf(docs, k):
+    tf = Counter()
+    for did, txt in docs:
+        for t in txt.lower().split(" "):
+            if t:
+                tf[(did, t)] += 1
+    df = Counter(t for (_, t) in tf)
+    n_docs = len(docs)
+    rows = [
+        (did, t, c, df[t], int(math.log2(n_docs // df[t])))
+        for (did, t), c in tf.items()
+    ]
+    out = {}
+    for did, _ in docs:
+        mine = sorted(
+            (r for r in rows if r[0] == did),
+            key=lambda r: (-r[2] * r[4], r[1]),
+        )[:k]
+        out.update(
+            {
+                (did, rank + 1): (t, c, d, i, c * i)
+                for rank, (_, t, c, d, i) in enumerate(mine)
+            }
+        )
+    return out
+
+
+def test_tfidf_matches_python_and_duckdb(spark):
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_id"], r["term_rank"]): (
+            r["term"], r["tf"], r["df"], r["idf_bits"], r["score"],
+        )
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    assert got == _py_tfidf(DOCS, 2)
+    # "the" appears in 3/4 docs -> idf_bits 0 -> never outranks a real
+    # term (doc 3 is all-"the", so it still surfaces there with score 0)
+    assert all(
+        t != "the" for (did, _), (t, *_) in got.items() if did != 3
+    )
+    assert got[(3, 1)] == ("the", 4, 3, 0, 0)
+    values = ", ".join(f"({i}, '{t}')" for i, t in DOCS)
+    sql = tfidf_top_terms_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)", 2
+    )
+    oracle = {
+        (r[0], r[6]): (r[1], r[2], r[3], r[4], r[5])
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
