@@ -192,6 +192,16 @@ def _q_cc_summary(spark, sf_dir):
     )
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline
+
+    docs = D.documents(spark, sf_dir).select("doc_id", "text", "n_chars")
+    dups = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars"
+    )
+    return corpus_pipeline(docs.unionAll(dups))
+
+
 def _q_lm_surprisal(spark, sf_dir):
     return tx.lm_surprisal_stats(
         D.documents(spark, sf_dir).select("doc_id", "text")
@@ -742,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _q_quantize_embeddings,
         "text_lm_surprisal": _q_lm_surprisal,
         "text_tfidf_top5": _q_tfidf_top5,
+        "e2e_corpus_filter": _q_corpus_pipeline,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -1540,6 +1551,18 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["text_tfidf_top5"] = tx.tfidf_top_terms_sql(
         "SELECT doc_id, text FROM documents", 5
+    )
+    from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline_sql
+
+    sqls["e2e_corpus_filter"] = corpus_pipeline_sql(
+        _DOCS_DUPS_Q,
+        quality_sql_of=lambda d: (
+            "SELECT doc_id, n_tokens, "
+            "(n_tokens >= 10 AND n_tokens <= 100000 AND "
+            "dup_ratio_2gr <= 0.6 AND dup_ratio_3gr <= 0.4) AS keep "
+            f"FROM ({tx.repeated_ngram_sql(d)})"
+        ),
+        chunk_sql_of=lambda d: chunk_dup_stats_sql(d, 16),
     )
     sqls["tri_total"] = (
         f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
