@@ -192,6 +192,27 @@ def _q_cc_summary(spark, sf_dir):
     )
 
 
+def _q_pmi_bigrams(spark, sf_dir):
+    return tx.pmi_collocations(
+        D.documents(spark, sf_dir).select("doc_id", "text"),
+        min_count=3,
+        min_pmi_bits=1,
+    )
+
+
+def _q_vocab_fm(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.sketches import (
+        fm_count_distinct,
+    )
+
+    toks = (
+        D.documents(spark, sf_dir)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("v"))
+        .where(F.col("v") != "")
+    )
+    return fm_count_distinct(toks, "v")
+
+
 def _q_corpus_pipeline(spark, sf_dir):
     from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline
 
@@ -753,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_surprisal": _q_lm_surprisal,
         "text_tfidf_top5": _q_tfidf_top5,
         "e2e_corpus_filter": _q_corpus_pipeline,
+        "text_pmi_bigrams": _q_pmi_bigrams,
+        "text_vocab_fm": _q_vocab_fm,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -1554,6 +1577,17 @@ def oracle_sql() -> dict[str, str]:
     )
     from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline_sql
 
+    sqls["text_pmi_bigrams"] = tx.pmi_collocations_sql(
+        "SELECT doc_id, text FROM documents", min_count=3, min_pmi_bits=1
+    )
+    from ps_projekt_pagerank_spark.functions.sketches import (
+        fm_count_distinct_sql,
+    )
+
+    sqls["text_vocab_fm"] = fm_count_distinct_sql(
+        "SELECT v FROM (SELECT unnest(string_split(lower(text), ' ')) AS v "
+        "FROM documents) WHERE v <> ''",
+    )
     sqls["e2e_corpus_filter"] = corpus_pipeline_sql(
         _DOCS_DUPS_Q,
         quality_sql_of=lambda d: (

@@ -330,3 +330,116 @@ def tfidf_top_terms_sql(docs_sql: str, k: int = 5) -> str:
         "SELECT doc_id, term, tf, df, idf_bits, score, term_rank "
         f"FROM ranked WHERE term_rank <= {int(k)}"
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    min_pmi_bits: int = 1,
+) -> DataFrame:
+    """(w1, w2, pair_count, pmi_bits) — adjacent-token collocations with
+    positive pointwise mutual information, the classic phrase-discovery /
+    tokenizer-merge-candidate report (Church & Hanks 1990):
+
+        PMI(x,y) = log2( p(xy) / (p(x)·p(y)) )
+                 = log2( c_xy · N² / (M · c_x · c_y) )
+
+    with c_xy = bigram count, M = total bigrams, c_x = unigram occurrence
+    counts, N = total tokens. ``pmi_bits`` = floor of that log2, computed
+    on the SAME no-floating-log bin/div chain as ``lm_surprisal_stats``
+    (pure int64 — engine-exact); only pairs with PMI ratio >= 2^min_pmi_bits
+    and count >= min_count are emitted, so the bound below never bites on
+    noise pairs.
+
+    int64 bound: c_xy·N² must fit — safe to N ≈ 3·10^9 tokens per run;
+    at full-crawl scale shard the corpus (PMI is per-shard diagnostics)
+    or move the product to DECIMAL(38,0) and accept engine-checked rather
+    than bit-checked equality.
+
+    Scale: one bigram explode, two hash aggs (bigram + unigram counts),
+    two |vocab|-row equi-joins onto the bigram table, broadcast scalars;
+    hot stopword unigrams are join keys but the bigram table is already
+    count-filtered before the join, so no skew amplification.
+    """
+    toks = docs.select(
+        F.filter(
+            tokens(F.lower(text_col)), lambda t: t != ""
+        ).alias("toks")
+    )
+    n_sz = F.size("toks")
+    big = toks.select(
+        F.when(
+            n_sz >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n_sz - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", i + 1).alias("w1"),
+                    F.element_at("toks", i + 2).alias("w2"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        .alias("bg")
+    ).select(F.explode("bg").alias("b")).select("b.w1", "b.w2")
+    uni = toks.select(F.explode("toks").alias("w"))
+    cxy = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= int(min_count))
+    )
+    cx = uni.groupBy("w").agg(F.count("*").alias("c"))
+    totals = uni.agg(F.count("*").alias("n_tok")).crossJoin(
+        big.agg(F.count("*").alias("m_big"))
+    )
+    j = (
+        cxy.join(cx.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(cx.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    num = F.col("pair_count") * F.col("n_tok") * F.col("n_tok")
+    den = F.col("m_big") * F.col("c1") * F.col("c2")
+    j = j.withColumn("_ratio", F.expr(
+        "(pair_count * n_tok * n_tok) div (m_big * c1 * c2)"
+    ))
+    del num, den
+    return (
+        j.where(F.col("_ratio") >= F.lit(2 ** int(min_pmi_bits)))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            (F.length(F.bin(F.col("_ratio"))).cast("long") - 1).alias(
+                "pmi_bits"
+            ),
+        )
+    )
+
+
+def pmi_collocations_sql(
+    docs_sql: str,
+    min_count: int = 3,
+    min_pmi_bits: int = 1,
+) -> str:
+    """DuckDB twin — identical bigram explode, counts, and bin/div chain."""
+    return (
+        f"WITH d AS (SELECT doc_id, text FROM ({docs_sql})), "
+        "tk AS (SELECT list_filter(string_split(lower(text), ' '), "
+        "t -> t <> '') AS toks FROM d), "
+        "bg AS (SELECT toks[CAST(i + 1 AS INT)] AS w1, "
+        "toks[CAST(i + 2 AS INT)] AS w2 FROM "
+        "(SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM tk)), "
+        "uni AS (SELECT unnest(toks) AS w FROM tk), "
+        "cxy AS (SELECT w1, w2, count(*) AS pair_count FROM bg "
+        f"GROUP BY w1, w2 HAVING count(*) >= {int(min_count)}), "
+        "cx AS (SELECT w, count(*) AS c FROM uni GROUP BY w), "
+        "tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_tok, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM bg) AS m_big), "
+        "j AS (SELECT cxy.w1, cxy.w2, cxy.pair_count, "
+        "(pair_count * n_tok * n_tok) // (m_big * c1.c * c2.c) AS _ratio "
+        "FROM cxy JOIN cx c1 ON cxy.w1 = c1.w JOIN cx c2 ON cxy.w2 = c2.w "
+        "CROSS JOIN tot) "
+        "SELECT w1, w2, pair_count, "
+        "CAST(length(bin(_ratio)) - 1 AS BIGINT) AS pmi_bits "
+        f"FROM j WHERE _ratio >= {2 ** int(min_pmi_bits)}"
+    )

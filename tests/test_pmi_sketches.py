@@ -1,0 +1,107 @@
+"""PMI collocations and the FM cardinality estimator vs pure-Python
+replications and the DuckDB twins."""
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+
+from ps_projekt_pagerank_spark.functions.sketches import (
+    fm_count_distinct,
+    fm_count_distinct_sql,
+    fm_est_table,
+)
+from ps_projekt_pagerank_spark.functions.text import (
+    pmi_collocations,
+    pmi_collocations_sql,
+)
+
+DOCS = [
+    (0, "new york is a big city and new york never sleeps"),
+    (1, "i love new york and i love big data"),
+    (2, "the city of new york has big data centers"),
+    (3, "x"),  # single token -> no bigrams
+]
+
+
+def _py_pmi(docs, min_count, min_bits):
+    uni, big = Counter(), Counter()
+    for _, t in docs:
+        toks = [w for w in t.lower().split(" ") if w]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n, m = sum(uni.values()), sum(big.values())
+    out = {}
+    for (w1, w2), c in big.items():
+        if c < min_count:
+            continue
+        ratio = (c * n * n) // (m * uni[w1] * uni[w2])
+        if ratio >= 2**min_bits:
+            out[(w1, w2)] = (c, int(math.log2(ratio)))
+    return out
+
+
+def test_pmi_matches_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi_bits"])
+        for r in pmi_collocations(df, min_count=2).collect()
+    }
+    assert got == _py_pmi(DOCS, 2, 1)
+    assert ("new", "york") in got  # the canonical collocation survives
+
+
+def test_pmi_duckdb_twin(spark):
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi_bits"])
+        for r in pmi_collocations(df, min_count=2).collect()
+    }
+    values = ", ".join(f"({i}, '{t}')" for i, t in DOCS)
+    sql = pmi_collocations_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)", min_count=2
+    )
+    oracle = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
+
+
+def _py_fm(values, r_sketches=8, nibbles=10):
+    pos_sum = 0
+    for r in range(r_sketches):
+        sk = 0
+        for v in values:
+            x = int(
+                hashlib.md5(f"{v}#{r}".encode()).hexdigest()[:nibbles], 16
+            )
+            tz = nibbles * 4 if x == 0 else (x & -x).bit_length() - 1
+            sk |= 1 << tz
+        p = 0
+        while sk & (1 << p):
+            p += 1
+        pos_sum += p
+    return pos_sum
+
+
+def test_fm_count_distinct(spark):
+    values = [f"tok{i}" for i in range(300)] * 3  # 300 distinct, 900 rows
+    df = spark.createDataFrame([(v,) for v in values], "v STRING")
+    row = fm_count_distinct(df, "v").collect()[0]
+    assert row["sum_positions"] == _py_fm(sorted(set(values)))
+    table = fm_est_table(8, 10)
+    assert row["est_distinct"] == table[row["sum_positions"]]
+    # FM with 8 sketches: order-of-magnitude accuracy is the contract
+    assert 100 <= row["est_distinct"] <= 900
+
+
+def test_fm_duckdb_twin(spark):
+    values = [f"item{i % 97}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in values], "v STRING")
+    got = fm_count_distinct(df, "v").collect()[0]
+    vlist = ", ".join(f"('{v}')" for v in values)
+    sql = fm_count_distinct_sql(f"SELECT * FROM (VALUES {vlist}) AS t(v)")
+    oracle = duckdb.connect().execute(sql).fetchone()
+    assert (got["sum_positions"], got["est_distinct"]) == oracle
