@@ -289,6 +289,19 @@ def _q_bfs_hopplot(spark, sf_dir):
     )
 
 
+_DIAM_SEEDS = [0, 17, 42, 99]
+
+
+def _q_eff_diameter(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.bfs import (
+        effective_diameter_sampled,
+    )
+
+    return effective_diameter_sampled(
+        D.sparse_edges(spark, sf_dir), seeds=_DIAM_SEEDS, max_depth=5
+    )
+
+
 def _q_modularity_lp(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.modularity import modularity
 
@@ -768,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_modularity_lp": _q_modularity_lp,
         "g_bfs_dist4": _q_bfs_distances,
         "g_bfs_hopplot": _q_bfs_hopplot,
+        "g_eff_diameter": _q_eff_diameter,
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
@@ -1549,6 +1563,13 @@ def oracle_sql() -> dict[str, str]:
     sqls["g_bfs_hopplot"] = (
         f"WITH d AS ({bfs_distances_sql(_SPARSE, _BFS_SEEDS, 4)}) "
         "SELECT dist, count(*) AS n_nodes FROM d GROUP BY dist"
+    )
+    from ps_projekt_pagerank_spark.operators.bfs import (
+        effective_diameter_sql,
+    )
+
+    sqls["g_eff_diameter"] = effective_diameter_sql(
+        _SPARSE, _DIAM_SEEDS, 5
     )
     from ps_projekt_pagerank_spark.operators.dedup import chunk_dup_stats_sql
 

@@ -246,6 +246,17 @@ def run_suite(spark, sf_dir):
         "delta_edges_pct": 1.0,
     }
 
+    # the composed corpus-filter flagship (exact dedup -> chunk cap ->
+    # Gopher rule -> weighted sample) as ONE plan over the documents table
+    from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline
+
+    timed(
+        "corpus_filter",
+        lambda: corpus_pipeline(
+            D.documents(spark, sf_dir).select("doc_id", "text", "n_chars")
+        ).count(),
+    )
+
     # Arrow-vectorized text extraction over synthesized html
     docs = D.documents(spark, sf_dir)
     html = F.concat(

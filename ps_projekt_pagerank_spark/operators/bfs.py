@@ -98,3 +98,157 @@ def bfs_distances_sql(
         + f"\nSELECT id, CAST(min(dist) AS INT) AS dist FROM ({unions}) "
         "GROUP BY id"
     )
+
+
+def bfs_per_seed(
+    edges: DataFrame, seeds: list[int], max_depth: int
+) -> DataFrame:
+    """(seed LONG, id LONG, dist INT) — independent BFS from EACH seed in
+    one composite-key frame (state rows are (seed, id); the frontier join
+    and visited anti-join key on both). The per-source distance samples
+    the classic sampled effective-diameter estimate needs.
+
+    Scale: |seeds| interleaved traversals share every scan/shuffle — state
+    is at most |seeds|·|V| rows, the per-round edge join fans each
+    frontier row out by out-degree exactly like single-source BFS.
+    """
+    if not seeds:
+        raise ValueError("bfs_per_seed needs >= 1 seed node")
+    spark = edges.sparkSession
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    visited = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sorted(set(seeds))],
+        "seed LONG, id LONG, dist INT",
+    )
+    frontier = visited.select("seed", "id")
+    for depth in range(1, max_depth + 1):
+        frontier = (
+            e.join(frontier, e["src"] == frontier["id"])
+            .select("seed", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, ["seed", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionAll(
+            frontier.select("seed", "id", F.lit(depth).alias("dist"))
+        ).localCheckpoint(eager=True)
+    e.unpersist(blocking=False)
+    return visited
+
+
+def effective_diameter_sampled(
+    edges: DataFrame,
+    seeds: list[int],
+    max_depth: int,
+    quantile_pct: int = 90,
+) -> DataFrame:
+    """One row (h_eff INT, covered_pairs BIGINT, total_pairs BIGINT,
+    coverage DOUBLE) — the sampled effective diameter: the smallest depth
+    h <= max_depth at which >= ``quantile_pct``% of all reached
+    (seed, node) pairs lie within h hops (Broder et al.'s "effective
+    diameter ~ 16" statistic, estimated from BFS samples instead of ANF
+    sketches — every moment here is an exact BIGINT count, so any engine
+    reproduces the row bit-for-bit; the ANF operator remains the
+    full-graph scale path).
+
+    If the ``quantile_pct`` mass is not covered by ``max_depth``,
+    h_eff = max_depth (coverage says how close it got).
+    """
+    dist = bfs_per_seed(edges, seeds, max_depth)
+    hist = dist.groupBy("dist").agg(F.count("*").alias("n"))
+    # cumulative coverage per depth without a window: tiny (max_depth+1
+    # rows) self-join on dist <= h
+    tot = hist.agg(F.sum("n").alias("total_pairs"))
+    cum = (
+        hist.alias("a")
+        .join(hist.alias("b"), F.col("b.dist") <= F.col("a.dist"))
+        .groupBy(F.col("a.dist").alias("h"))
+        .agg(F.sum("b.n").alias("covered"))
+    )
+    q = int(quantile_pct)
+    hit = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("covered") * 100 >= F.col("total_pairs") * q)
+        .agg(F.min("h").alias("h_hit"))
+    )
+    final = (
+        hit.crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce("h_hit", F.lit(int(max_depth))).alias("h_eff"),
+            "total_pairs",
+        )
+        .join(
+            cum.select(F.col("h").alias("h_eff"), "covered"), "h_eff"
+        )
+    )
+    return final.select(
+        F.col("h_eff").cast("int").alias("h_eff"),
+        F.col("covered").alias("covered_pairs"),
+        "total_pairs",
+        (
+            F.col("covered").cast("double")
+            / F.col("total_pairs").cast("double")
+        ).alias("coverage"),
+    )
+
+
+def bfs_per_seed_sql(
+    edges_sql: str, seeds: list[int], max_depth: int
+) -> str:
+    """DuckDB twin of bfs_per_seed — the single-source unrolled monotone
+    chain with the seed carried through every set."""
+    seed_rows = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        f"p0 AS (SELECT id AS seed, id FROM (VALUES {seed_rows}) AS t(id))",
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f"p{k} AS (SELECT seed, id FROM p{k - 1} UNION "
+            f"SELECT s.seed, e.dst AS id FROM e JOIN p{k - 1} s "
+            "ON e.src = s.id)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT seed, id, {k} AS dist FROM p{k}"
+        for k in range(max_depth + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT seed, id, CAST(min(dist) AS INT) AS dist "
+        f"FROM ({unions}) GROUP BY seed, id"
+    )
+
+
+def effective_diameter_sql(
+    edges_sql: str,
+    seeds: list[int],
+    max_depth: int,
+    quantile_pct: int = 90,
+) -> str:
+    """DuckDB twin of effective_diameter_sampled."""
+    q = int(quantile_pct)
+    return (
+        f"WITH dist AS ({bfs_per_seed_sql(edges_sql, seeds, max_depth)}), "
+        "hist AS (SELECT dist, count(*) AS n FROM dist GROUP BY dist), "
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_pairs FROM hist), "
+        "cum AS (SELECT a.dist AS h, CAST(sum(b.n) AS BIGINT) AS covered "
+        "FROM hist a JOIN hist b ON b.dist <= a.dist GROUP BY a.dist), "
+        "hit AS (SELECT min(h) AS h_hit FROM cum CROSS JOIN tot "
+        f"WHERE covered * 100 >= total_pairs * {q}), "
+        "fin AS (SELECT CAST(coalesce(h_hit, "
+        f"{int(max_depth)}) AS INT) AS h_eff, total_pairs "
+        "FROM hit CROSS JOIN tot) "
+        "SELECT fin.h_eff, cum.covered AS covered_pairs, fin.total_pairs, "
+        "CAST(cum.covered AS DOUBLE) / CAST(fin.total_pairs AS DOUBLE) "
+        "AS coverage "
+        "FROM fin JOIN cum ON cum.h = fin.h_eff"
+    )

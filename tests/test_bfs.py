@@ -85,3 +85,57 @@ def test_distance_histogram(spark):
     }
     # dist 0: {0}; dist 1: {1,3}; dist 2: {2,4,5}
     assert hist == {0: 1, 1: 2, 2: 3}
+
+
+def test_bfs_per_seed_matches_python(spark):
+    from ps_projekt_pagerank_spark.operators.bfs import bfs_per_seed
+
+    df = spark.createDataFrame(EDGES, "src LONG, dst LONG")
+    got = {
+        (r["seed"], r["id"]): r["dist"]
+        for r in bfs_per_seed(df, [0, 8], max_depth=3).collect()
+    }
+    expect = {}
+    for s in (0, 8):
+        for nid, d in _py_bfs(EDGES, [s], 3).items():
+            expect[(s, nid)] = d
+    assert got == expect
+
+
+def test_effective_diameter_sampled(spark):
+    from ps_projekt_pagerank_spark.operators.bfs import (
+        effective_diameter_sampled,
+    )
+
+    # chain 0->1->2->3->4 from seed 0: pairs at dist 0..4, one each;
+    # 90th pct of 5 pairs -> needs 5 covered -> h_eff = 4
+    chain = [(i, i + 1) for i in range(4)]
+    df = spark.createDataFrame(chain, "src LONG, dst LONG")
+    row = effective_diameter_sampled(df, [0], max_depth=6).collect()[0]
+    assert (row["h_eff"], row["covered_pairs"], row["total_pairs"]) == (4, 5, 5)
+    assert row["coverage"] == 1.0
+    # 50th pct -> 3 of 5 pairs -> h_eff = 2
+    row = effective_diameter_sampled(
+        df, [0], max_depth=6, quantile_pct=50
+    ).collect()[0]
+    assert (row["h_eff"], row["covered_pairs"]) == (2, 3)
+
+
+def test_effective_diameter_duckdb_twin(spark):
+    import duckdb
+
+    from ps_projekt_pagerank_spark.operators.bfs import (
+        effective_diameter_sampled,
+        effective_diameter_sql,
+    )
+
+    df = spark.createDataFrame(EDGES, "src LONG, dst LONG")
+    got = tuple(
+        effective_diameter_sampled(df, [0, 8], max_depth=4).collect()[0]
+    )
+    values = ", ".join(f"({s}, {d})" for s, d in EDGES)
+    sql = effective_diameter_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", [0, 8], 4
+    )
+    oracle = duckdb.connect().execute(sql).fetchone()
+    assert got == oracle
