@@ -292,6 +292,16 @@ def _q_bfs_hopplot(spark, sf_dir):
 _DIAM_SEEDS = [0, 17, 42, 99]
 
 
+def _q_betweenness(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.betweenness import (
+        betweenness_sampled,
+    )
+
+    return betweenness_sampled(
+        D.sparse_edges(spark, sf_dir), seeds=_DIAM_SEEDS, max_depth=4
+    )
+
+
 def _q_eff_diameter(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.bfs import (
         effective_diameter_sampled,
@@ -782,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bfs_dist4": _q_bfs_distances,
         "g_bfs_hopplot": _q_bfs_hopplot,
         "g_eff_diameter": _q_eff_diameter,
+        "g_betweenness": _q_betweenness,
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
@@ -1570,6 +1581,13 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["g_eff_diameter"] = effective_diameter_sql(
         _SPARSE, _DIAM_SEEDS, 5
+    )
+    from ps_projekt_pagerank_spark.operators.betweenness import (
+        betweenness_sampled_sql,
+    )
+
+    sqls["g_betweenness"] = betweenness_sampled_sql(
+        _SPARSE, _DIAM_SEEDS, 4
     )
     from ps_projekt_pagerank_spark.operators.dedup import chunk_dup_stats_sql
 
