@@ -192,6 +192,17 @@ def _q_cc_summary(spark, sf_dir):
     )
 
 
+def _q_corpus_splits(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.sampling import corpus_splits
+
+    return corpus_splits(
+        D.documents(spark, sf_dir).select("doc_id"),
+        {"train": 0.5, "val": 0.25, "test": 0.25},
+        key_cols=["doc_id"],
+        salt="split1",
+    )
+
+
 def _q_pmi_bigrams(spark, sf_dir):
     return tx.pmi_collocations(
         D.documents(spark, sf_dir).select("doc_id", "text"),
@@ -801,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_corpus_filter": _q_corpus_pipeline,
         "text_pmi_bigrams": _q_pmi_bigrams,
         "text_vocab_fm": _q_vocab_fm,
+        "smp_corpus_splits": _q_corpus_splits,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -1616,6 +1628,14 @@ def oracle_sql() -> dict[str, str]:
     )
     from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline_sql
 
+    sqls["smp_corpus_splits"] = (
+        "WITH u AS (SELECT doc_id, "
+        "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+        "'#split1'), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u "
+        "FROM documents) "
+        "SELECT doc_id, CASE WHEN u < 0.5 THEN 'train' "
+        "WHEN u < 0.75 THEN 'val' ELSE 'test' END AS split FROM u"
+    )
     sqls["text_pmi_bigrams"] = tx.pmi_collocations_sql(
         "SELECT doc_id, text FROM documents", min_count=3, min_pmi_bits=1
     )

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 200,
+    init_labels: DataFrame | None = None,
+) -> DataFrame:
     """(id LONG, component LONG) — min reachable id, undirected.
 
     Min-label propagation: one round moves the minimum one hop, so rounds
@@ -29,6 +33,19 @@ def connected_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
     collected via an Observation on the same localCheckpoint job, exactly
     like the PageRank loop. For diameter-unbounded web graphs prefer
     ``connected_components_star`` (O(log n) rounds).
+
+    ``init_labels`` (id, component) warm-starts from a previous run's
+    output — the crawl-loop amortization (same contract as PageRank's
+    ``init_ranks``): labels only decrease, so a prior min-id labeling is
+    a valid upper bound; unchanged components converge in ZERO productive
+    rounds (round 1 is the counted no-op sweep). Merges are NOT
+    shortcut — the winning min still propagates hop-by-hop, so a batch
+    that merges two components costs up to the merged diameter in rounds
+    (use ``connected_components_star`` when deltas routinely merge large
+    components). ADDITIONS-ONLY: a removed edge can split a component,
+    and min-label can never raise a label — rebuild cold after
+    deletions. Nodes absent from ``init_labels`` (newly discovered)
+    start at their own id.
     """
     sym = (
         edges.where(F.col("src") != F.col("dst"))
@@ -46,9 +63,22 @@ def connected_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    labels = nodes.select("id", F.col("id").alias("component")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if init_labels is not None:
+        labels = (
+            nodes.join(
+                init_labels.select("id", F.col("component").alias("_w")),
+                "id",
+                "left",
+            )
+            .select(
+                "id", F.coalesce("_w", F.col("id")).alias("component")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        labels = nodes.select("id", F.col("id").alias("component")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     for rnd in range(max_rounds):
         neigh_min = (

@@ -210,3 +210,44 @@ def weighted_bernoulli_sample(
         float(2**32)
     )
     return df.where(u < F.col(prob_col).cast("double"))
+
+
+def corpus_splits(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """``df`` plus a ``split`` column — deterministic train/val/test
+    assignment: the row's md5-uniform draw is binned by cumulative
+    ``fractions`` (insertion order; must sum to <= 1, any remainder maps
+    to the LAST split). The split a row lands in never changes across
+    re-runs, backfills, engines, or parallelism — the leakage-proof
+    property an eval holdout actually requires (a new training run must
+    never see yesterday's val docs).
+
+    Scale: a pure per-row projection — no shuffle, no state.
+    """
+    if not fractions:
+        raise ValueError("corpus_splits needs >= 1 named fraction")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    key_cols = key_cols or [df.columns[0]]
+    key = F.concat_ws(
+        "#", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)
+    )
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        float(2**32)
+    )
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    bounds = []
+    for name, frac in fractions.items():
+        cum += float(frac)
+        bounds.append((name, cum))
+    for name, bound in reversed(bounds[:-1]):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    # rows above the last bound also land in the last split (remainder)
+    return df.select("*", expr.alias("split"))

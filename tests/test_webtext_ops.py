@@ -137,3 +137,42 @@ def test_quantize_matches_python_and_duckdb(spark):
     }
     assert got == oracle
     assert all(-127 <= q <= 127 for q, _ in got.values())
+
+
+def test_corpus_splits_deterministic_and_partitioned(spark):
+    from ps_projekt_pagerank_spark.operators.sampling import corpus_splits
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id LONG")
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    a = {
+        r["doc_id"]: r["split"]
+        for r in corpus_splits(df, fr, salt="s").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in corpus_splits(
+            df.repartition(7), fr, salt="s"
+        ).collect()
+    }
+    assert a == b  # parallelism-independent
+    expect = {}
+    for i in range(400):
+        u = int(hashlib.md5(f"{i}#s".encode()).hexdigest()[:8], 16) / 2**32
+        expect[i] = "train" if u < 0.5 else ("val" if u < 0.75 else "test")
+    assert a == expect
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 150 < c["train"] < 250 and c["val"] > 50 and c["test"] > 50
+
+
+def test_corpus_splits_validation(spark):
+    import pytest as _pytest
+
+    from ps_projekt_pagerank_spark.operators.sampling import corpus_splits
+
+    df = spark.createDataFrame([(1,)], "doc_id LONG")
+    with _pytest.raises(ValueError):
+        corpus_splits(df, {})
+    with _pytest.raises(ValueError):
+        corpus_splits(df, {"a": 0.9, "b": 0.2})
