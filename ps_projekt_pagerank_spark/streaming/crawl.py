@@ -173,3 +173,22 @@ def incremental_rerank(
         )
     finally:
         g.unpersist()
+
+
+def incremental_components(
+    spark: SparkSession,
+    name: str,
+    prev_labels: DataFrame | None = None,
+    **cc_kwargs,
+) -> DataFrame:
+    """The CC leg of the crawl loop: run connected components over the
+    maintained store's adjacency (the bucketed scan — no build shuffle),
+    warm-starting from the previous run's labels when given. Additions-
+    only, like the store itself (see connected_components' contract); an
+    unchanged region of the graph costs zero productive rounds."""
+    from ..operators.components import connected_components
+
+    edges = spark.read.table(name).select("src", "dst")
+    return connected_components(
+        edges, init_labels=prev_labels, **cc_kwargs
+    )

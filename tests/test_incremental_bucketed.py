@@ -118,3 +118,41 @@ def test_stream_maintained_store_plus_warm_start_equals_batch(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_crawl_store")
         spark.sql("DROP TABLE IF EXISTS t_crawl_store_nodes")
         g_batch.unpersist()
+
+
+def test_incremental_components_on_maintained_store(spark, tmp_path):
+    """The CC leg of the crawl loop: stream-maintained store + warm-start
+    labels equals a cold CC over the full batch edge set."""
+    from ps_projekt_pagerank_spark.operators.components import (
+        connected_components,
+    )
+    from ps_projekt_pagerank_spark.streaming.crawl import (
+        incremental_components,
+        stream_maintain_graph,
+    )
+
+    base = tripled_k(FIXTURE_GRAPHS["small"], 1)
+    delta = [(1, 200), (200, 201)]  # grows a fresh tail off node 1
+    d = str(tmp_path / "cc_edge_stream")
+    edges_from_pairs(spark, base).coalesce(1).write.mode("append").parquet(d)
+    edges_from_pairs(spark, delta).coalesce(1).write.mode("append").parquet(d)
+
+    prev = connected_components(edges_from_pairs(spark, base))
+    cold = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            edges_from_pairs(spark, list(base) + delta)
+        ).collect()
+    }
+    try:
+        stream_maintain_graph(spark, d, "t_cc_store")
+        warm = {
+            r["id"]: r["component"]
+            for r in incremental_components(
+                spark, "t_cc_store", prev_labels=prev
+            ).collect()
+        }
+        assert warm == cold
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cc_store")
+        spark.sql("DROP TABLE IF EXISTS t_cc_store_nodes")
