@@ -114,6 +114,8 @@ def bfs_per_seed(
     """
     if not seeds:
         raise ValueError("bfs_per_seed needs >= 1 seed node")
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
     spark = edges.sparkSession
     e = (
         edges.select("src", "dst")
