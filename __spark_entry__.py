@@ -192,6 +192,21 @@ def _q_cc_summary(spark, sf_dir):
     )
 
 
+def _q_vocab_by_lang_fm(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.sketches import (
+        fm_count_distinct_by_key,
+    )
+
+    pairs = (
+        D.documents(spark, sf_dir)
+        .select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+    )
+    return fm_count_distinct_by_key(pairs, "lang", "tok")
+
+
 def _q_corpus_splits(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.sampling import corpus_splits
 
@@ -301,6 +316,12 @@ def _q_bfs_hopplot(spark, sf_dir):
 
 
 _DIAM_SEEDS = [0, 17, 42, 99]
+
+
+def _q_ktruss3(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.triangles import k_truss
+
+    return k_truss(D.sparse_edges(spark, sf_dir), k=3)
 
 
 def _q_betweenness(spark, sf_dir):
@@ -804,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bfs_hopplot": _q_bfs_hopplot,
         "g_eff_diameter": _q_eff_diameter,
         "g_betweenness": _q_betweenness,
+        "g_ktruss3": _q_ktruss3,
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
@@ -813,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_bigrams": _q_pmi_bigrams,
         "text_vocab_fm": _q_vocab_fm,
         "smp_corpus_splits": _q_corpus_splits,
+        "text_vocab_by_lang_fm": _q_vocab_by_lang_fm,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -1601,6 +1624,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["g_betweenness"] = betweenness_sampled_sql(
         _SPARSE, _DIAM_SEEDS, 4
     )
+    from ps_projekt_pagerank_spark.operators.triangles import k_truss_sql
+
+    # rounds=3: the gate graph's peel fixpoint is after round 1 (measured
+    # in DuckDB: 12162 edges at rounds 1 and 2); extra rounds are identity
+    sqls["g_ktruss3"] = k_truss_sql(_SPARSE, 3, rounds=3)
     from ps_projekt_pagerank_spark.operators.dedup import chunk_dup_stats_sql
 
     sqls["dedup_chunk_stats"] = chunk_dup_stats_sql(
@@ -1646,6 +1674,15 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_vocab_fm"] = fm_count_distinct_sql(
         "SELECT v FROM (SELECT unnest(string_split(lower(text), ' ')) AS v "
         "FROM documents) WHERE v <> ''",
+    )
+    from ps_projekt_pagerank_spark.functions.sketches import (
+        fm_count_distinct_by_key_sql,
+    )
+
+    sqls["text_vocab_by_lang_fm"] = fm_count_distinct_by_key_sql(
+        "SELECT key, v FROM (SELECT lang AS key, "
+        "unnest(string_split(lower(text), ' ')) AS v FROM documents) "
+        "WHERE v <> ''",
     )
     sqls["e2e_corpus_filter"] = corpus_pipeline_sql(
         _DOCS_DUPS_Q,

@@ -95,3 +95,73 @@ def fm_count_distinct_sql(
         f"SELECT sum_positions, CAST(([{lits}])[CAST(sum_positions AS INT) "
         "+ 1] AS DOUBLE) AS est_distinct FROM ps"
     )
+
+
+def fm_count_distinct_by_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    num_sketches: int = 8,
+    nibbles: int = 10,
+) -> DataFrame:
+    """(key, sum_positions BIGINT, est_distinct DOUBLE) — per-group FM
+    cardinality: distinct urls per host, vocabulary per language, unique
+    users per session — the GROUP BY form of ``fm_count_distinct`` (one
+    map-side-combinable bit_or agg; group state = R longs, so a billion
+    groups cost |groups|·R·8 bytes, not |values| memory)."""
+    vals = df.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("v")
+    ).where(F.col("v").isNotNull())
+    sketches = vals.groupBy("key").agg(
+        *[
+            F.bit_or(_seed_bit(F.col("v"), r, nibbles)).alias(f"s{r}")
+            for r in range(num_sketches)
+        ]
+    )
+    pos_sum = None
+    for r in range(num_sketches):
+        p = _lowest_zero_pos(F.coalesce(F.col(f"s{r}"), F.lit(0)))
+        pos_sum = p if pos_sum is None else pos_sum + p
+    table = fm_est_table(num_sketches, nibbles)
+    est = F.element_at(
+        F.array(*[F.lit(x) for x in table]), pos_sum.cast("int") + 1
+    )
+    return sketches.select(
+        "key",
+        pos_sum.cast("long").alias("sum_positions"),
+        est.alias("est_distinct"),
+    )
+
+
+def fm_count_distinct_by_key_sql(
+    pairs_sql: str, num_sketches: int = 8, nibbles: int = 10
+) -> str:
+    """DuckDB twin — ``pairs_sql`` must yield columns (key, v)."""
+    seed_terms = []
+    for r in range(num_sketches):
+        x = (
+            f"CAST('0x' || substr(md5(CAST(v AS VARCHAR) || '#{r}'), 1, "
+            f"{nibbles}) AS BIGINT)"
+        )
+        tz = (
+            f"(CASE WHEN {x} = 0 THEN {nibbles * 4} "
+            f"ELSE bit_count((({x}) & (-({x}))) - 1) END)"
+        )
+        seed_terms.append(f"bit_or(CAST(1 AS BIGINT) << {tz}) AS s{r}")
+    pos = " + ".join(
+        f"bit_count((((~coalesce(s{r}, 0)) & (coalesce(s{r}, 0) + 1)) - 1))"
+        for r in range(num_sketches)
+    )
+    table = fm_est_table(num_sketches, nibbles)
+    lits = ", ".join(repr(x) for x in table)
+    return (
+        f"WITH vals AS (SELECT key, v FROM ({pairs_sql}) "
+        "WHERE v IS NOT NULL), "
+        f"sk AS (SELECT key, {', '.join(seed_terms)} FROM vals "
+        "GROUP BY key), "
+        f"ps AS (SELECT key, CAST({pos} AS BIGINT) AS sum_positions "
+        "FROM sk) "
+        f"SELECT key, sum_positions, CAST(([{lits}])"
+        "[CAST(sum_positions AS INT) + 1] AS DOUBLE) AS est_distinct "
+        "FROM ps"
+    )

@@ -151,3 +151,118 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
         .alias("coefficient"),
     )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(a, b, support) — triangles through each canonical edge of the
+    PERSISTED canonical edge set ``e`` (degree-ordered enumeration, one
+    row per triangle, each credited to its three edges)."""
+    o = _oriented(e)
+    w1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = o.select(F.col("u").alias("x2"), F.col("v").alias("z"))
+    wedges = w1.join(
+        w2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z"))
+    ).select("x", "y", "z")
+    closed = wedges.join(
+        e,
+        (F.least("y", "z") == F.col("a"))
+        & (F.greatest("y", "z") == F.col("b")),
+        "left_semi",
+    )
+    sides = (
+        closed.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .unionAll(
+            closed.select(
+                F.least("x", "z").alias("a"),
+                F.greatest("x", "z").alias("b"),
+            )
+        )
+        .unionAll(
+            closed.select(
+                F.least("y", "z").alias("a"),
+                F.greatest("y", "z").alias("b"),
+            )
+        )
+    )
+    return sides.groupBy("a", "b").agg(F.count("*").alias("support"))
+
+
+def k_truss(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """(a LONG, b LONG) — the canonical edges of the k-truss: the maximal
+    subgraph where every edge closes >= k-2 triangles WITHIN the subgraph
+    (Cohen 2008) — the cohesive-community filter that survives the noisy
+    halo a raw triangle count keeps. k=2 returns all edges.
+
+    Peeling loop: recount per-edge support on the surviving subgraph,
+    drop edges under k-2, repeat to fixpoint. Support only shrinks as
+    edges leave, so the loop terminates in <= |E| rounds (far fewer in
+    practice — each round kills entire weak fringes). One Spark action
+    per round (the surviving-edge count doubles as the fixpoint test);
+    per round the work is the degree-ordered triangle enumeration of the
+    CURRENT subgraph — O(sum of oriented-wedge fanout), the same bound
+    as triangles_total, shrinking every round.
+    """
+    if k < 2:
+        raise ValueError("k_truss needs k >= 2")
+    import warnings
+
+    e = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    prev = e.count()
+    converged = False
+    for _ in range(max_rounds):
+        sup = _edge_support(e)
+        kept = (
+            e.join(sup, ["a", "b"], "left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n = kept.count()
+        e.unpersist()
+        e = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        if n == prev:
+            converged = True
+            break
+        prev = n
+    if not converged:
+        warnings.warn(
+            f"k_truss: no fixpoint within {max_rounds} rounds — result "
+            "may keep under-supported edges; raise max_rounds",
+            stacklevel=2,
+        )
+    out = e.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def k_truss_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin — the peeling loop unrolled to ``rounds`` (overshoot is
+    safe: past the fixpoint every round is identity; pick rounds >= the
+    Spark side's measured round count on the gate fixture)."""
+    # every CTE is MATERIALIZED: each round references the previous one
+    # several times, and an inlining planner would otherwise expand the
+    # chain exponentially (measured: rounds=5 never finished planning)
+    parts = [
+        f"WITH raw AS MATERIALIZED ({edges_sql})",
+        "t0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"t{r - 1}"
+        parts += [
+            f"tri{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM {p} e1 JOIN {p} e2 ON e1.a = e2.a AND e1.b < e2.b "
+            f"WHERE EXISTS (SELECT 1 FROM {p} e3 WHERE e3.a = e1.b "
+            "AND e3.b = e2.b))",
+            f"sup{r} AS MATERIALIZED (SELECT a, b, count(*) AS support FROM ("
+            f"SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri{r} "
+            f"UNION ALL SELECT least(x, z), greatest(x, z) FROM tri{r} "
+            f"UNION ALL SELECT least(y, z), greatest(y, z) FROM tri{r}"
+            ") GROUP BY a, b)",
+            f"t{r} AS MATERIALIZED (SELECT t.a, t.b FROM {p} t LEFT JOIN sup{r} s "
+            "ON t.a = s.a AND t.b = s.b "
+            f"WHERE coalesce(s.support, 0) >= {int(k) - 2})",
+        ]
+    return ",\n".join(parts) + f"\nSELECT a, b FROM t{rounds}"

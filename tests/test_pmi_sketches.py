@@ -105,3 +105,31 @@ def test_fm_duckdb_twin(spark):
     sql = fm_count_distinct_sql(f"SELECT * FROM (VALUES {vlist}) AS t(v)")
     oracle = duckdb.connect().execute(sql).fetchone()
     assert (got["sum_positions"], got["est_distinct"]) == oracle
+
+
+def test_fm_by_key_matches_scalar_and_duckdb(spark):
+    from ps_projekt_pagerank_spark.functions.sketches import (
+        fm_count_distinct_by_key,
+        fm_count_distinct_by_key_sql,
+    )
+
+    rows = [("en", f"w{i % 60}") for i in range(200)] + [
+        ("fr", f"m{i % 9}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "lang STRING, tok STRING")
+    got = {
+        r["key"]: (r["sum_positions"], r["est_distinct"])
+        for r in fm_count_distinct_by_key(df, "lang", "tok").collect()
+    }
+    # per-key sketch must equal the scalar estimator run on that key alone
+    assert got["en"][0] == _py_fm(sorted({f"w{i}" for i in range(60)}))
+    assert got["fr"][0] == _py_fm(sorted({f"m{i}" for i in range(9)}))
+    vlist = ", ".join(f"('{k}', '{v}')" for k, v in rows)
+    sql = fm_count_distinct_by_key_sql(
+        f"SELECT * FROM (VALUES {vlist}) AS t(key, v)"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
