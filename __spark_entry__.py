@@ -318,6 +318,22 @@ def _q_bfs_hopplot(spark, sf_dir):
 _DIAM_SEEDS = [0, 17, 42, 99]
 
 
+_PPR_BATCH_SEEDS = [0, 17, 42]
+
+
+def _q_ppr_batch(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.pagerank import (
+        pagerank_personalized_batch,
+    )
+
+    out = pagerank_personalized_batch(
+        D.web_edges(spark, sf_dir), _PPR_BATCH_SEEDS, num_iterations=3
+    )
+    return out.select(
+        "seed", "id", F.round("rank", 9).alias("rank")
+    )
+
+
 def _q_ktruss3(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.triangles import k_truss
 
@@ -826,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_eff_diameter": _q_eff_diameter,
         "g_betweenness": _q_betweenness,
         "g_ktruss3": _q_ktruss3,
+        "ppr_batch3": _q_ppr_batch,
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
@@ -1629,6 +1646,13 @@ def oracle_sql() -> dict[str, str]:
     # rounds=3: the gate graph's peel fixpoint is after round 1 (measured
     # in DuckDB: 12162 edges at rounds 1 and 2); extra rounds are identity
     sqls["g_ktruss3"] = k_truss_sql(_SPARSE, 3, rounds=3)
+    from ps_projekt_pagerank_spark.operators.pagerank import (
+        pagerank_personalized_batch_sql,
+    )
+
+    sqls["ppr_batch3"] = pagerank_personalized_batch_sql(
+        _WEB, _PPR_BATCH_SEEDS, 3
+    )
     from ps_projekt_pagerank_spark.operators.dedup import chunk_dup_stats_sql
 
     sqls["dedup_chunk_stats"] = chunk_dup_stats_sql(

@@ -455,3 +455,141 @@ def pagerank_fixed(
     if own_graph:
         g.unpersist()
     return out
+
+
+def pagerank_personalized_batch(
+    edges: DataFrame,
+    seeds: list[int],
+    num_iterations: int,
+    damping: float = DAMPING,
+    graph: GraphTables | None = None,
+) -> DataFrame:
+    """(seed LONG, id LONG, rank DOUBLE) — |seeds| INDEPENDENT single-seed
+    personalized PageRank vectors in one frame (tele(v) = 1 for v == seed;
+    the related-pages serving primitive: one batch job scores "similar to
+    X" for a whole seed list instead of |seeds| separate runs).
+
+    Differences from ``pagerank_personalized_fixed`` (which computes ONE
+    vector with teleport spread over the seed SET): state is the sparse
+    (seed, id, rank) table — only nodes the walk has reached carry rows,
+    so early sweeps cost |seeds|·|ball| not |seeds|·|V| — and the
+    per-seed sink mass stays IN-PLAN (a |seeds|-row aggregate joined back,
+    no driver collect per sweep; one action per sweep total).
+
+    Scale: the scatter join hits the same build-once src-partitioned
+    adjacency as every rank loop; state rows are (seed, id)-keyed so the
+    gather agg shuffles |seeds|·|reached| rows. The teleport merge is a
+    two-row-per-key unionAll+sum (IEEE addition of two doubles is
+    commutative — engine-exact given equal contrib sums).
+    """
+    if not seeds:
+        raise ValueError("pagerank_personalized_batch needs >= 1 seed")
+    own_graph = graph is None
+    g = graph or build_graph(edges)
+    spark = edges.sparkSession if edges is not None else g.nodes.sparkSession
+    seed_ids = sorted({int(s) for s in seeds})
+    n_present = g.nodes.where(F.col("id").isin(seed_ids)).count()
+    if n_present != len(seed_ids):
+        raise ValueError(
+            f"{len(seed_ids) - n_present} seed id(s) absent from the "
+            "graph — their teleport mass would silently leak"
+        )
+    nodes = g.nodes.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("outdeg").cast("long").alias("outdeg"),
+        "is_sink",
+    )
+    adj = g.adj.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("w").cast("double").alias("w"),
+    )
+    seeds_df = spark.createDataFrame(
+        [(s,) for s in seed_ids], "seed LONG"
+    )
+    state = seeds_df.select(
+        "seed", F.col("seed").alias("id"), F.lit(1.0).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(num_iterations):
+        with_flags = state.join(nodes, "id")
+        sink_mass = (
+            seeds_df.join(
+                with_flags.where(F.col("is_sink"))
+                .groupBy("seed")
+                .agg(F.sum("rank").alias("sm")),
+                "seed",
+                "left",
+            ).select("seed", F.coalesce("sm", F.lit(0.0)).alias("sm"))
+        )
+        contribs = (
+            with_flags.where(F.col("outdeg") > 0)
+            .select(F.col("id").alias("src"), "seed", "rank", "outdeg")
+            .join(adj, "src")
+            .groupBy("seed", F.col("dst").alias("id"))
+            .agg(
+                (
+                    F.lit(damping)
+                    * F.sum(F.col("w") * F.col("rank") / F.col("outdeg"))
+                ).alias("rank")
+            )
+        )
+        teleport = sink_mass.select(
+            "seed",
+            F.col("seed").alias("id"),
+            (
+                F.lit(1.0 - damping) + F.lit(damping) * F.col("sm")
+            ).alias("rank"),
+        )
+        state = (
+            contribs.unionAll(teleport)
+            .groupBy("seed", "id")
+            .agg(F.sum("rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    if own_graph:
+        g.unpersist()
+    return state
+
+
+def pagerank_personalized_batch_sql(
+    edges_sql: str,
+    seeds: list[int],
+    num_iterations: int,
+    damping: float = DAMPING,
+) -> str:
+    """DuckDB twin — unrolled sweeps over the raw multigraph (each
+    duplicate edge contributes rank/outdeg separately == the weighted
+    collapse), seed column carried through every CTE. MATERIALIZED to
+    stop exponential CTE inlining."""
+    d = damping
+    seed_rows = ", ".join(f"({int(s)})" for s in sorted({int(s) for s in seeds}))
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql})), "
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg "
+        "FROM e GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))",
+        f"sd AS (SELECT id AS seed FROM (VALUES {seed_rows}) AS t(id))",
+        "r0 AS MATERIALIZED (SELECT seed, seed AS id, 1.0 AS rank FROM sd)",
+    ]
+    for k in range(num_iterations):
+        parts += [
+            f"sm{k} AS MATERIALIZED (SELECT sd.seed, coalesce(sum(r.rank), 0.0) "
+            f"AS sm FROM sd LEFT JOIN (SELECT r.seed, r.rank FROM r{k} r "
+            "JOIN nodes n ON r.id = n.id LEFT JOIN deg g ON r.id = g.id "
+            "WHERE coalesce(g.outdeg, 0) = 0) r ON sd.seed = r.seed "
+            "GROUP BY sd.seed)",
+            f"c{k} AS MATERIALIZED (SELECT r.seed, e.dst AS id, "
+            f"{d} * sum(r.rank / g.outdeg) AS rank "
+            f"FROM r{k} r JOIN deg g ON r.id = g.id "
+            "JOIN e ON e.src = r.id GROUP BY r.seed, e.dst)",
+            f"r{k + 1} AS MATERIALIZED (SELECT seed, id, sum(rank) AS rank "
+            f"FROM (SELECT seed, id, rank FROM c{k} UNION ALL "
+            f"SELECT seed, seed AS id, {1.0 - d} + {d} * sm FROM sm{k}) "
+            "GROUP BY seed, id)",
+        ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT seed, id, round(rank, 9) AS rank "
+        f"FROM r{num_iterations}"
+    )
