@@ -318,6 +318,24 @@ def _q_bfs_hopplot(spark, sf_dir):
 _DIAM_SEEDS = [0, 17, 42, 99]
 
 
+def _q_edge_report(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.graph import edge_table_report
+
+    return edge_table_report(D.web_edges(spark, sf_dir))
+
+
+def _q_top_docs_per_lang(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.sampling import top_k_per_group
+
+    return top_k_per_group(
+        D.documents(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        group_col="lang",
+        order_col="n_chars",
+        k=3,
+        tiebreak_col="doc_id",
+    )
+
+
 _PPR_BATCH_SEEDS = [0, 17, 42]
 
 
@@ -843,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_betweenness": _q_betweenness,
         "g_ktruss3": _q_ktruss3,
         "ppr_batch3": _q_ppr_batch,
+        "g_edge_report": _q_edge_report,
+        "smp_top_docs_per_lang": _q_top_docs_per_lang,
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
@@ -1652,6 +1672,17 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["ppr_batch3"] = pagerank_personalized_batch_sql(
         _WEB, _PPR_BATCH_SEEDS, 3
+    )
+    from ps_projekt_pagerank_spark.operators.graph import (
+        edge_table_report_sql,
+    )
+
+    sqls["g_edge_report"] = edge_table_report_sql(_WEB)
+    sqls["smp_top_docs_per_lang"] = (
+        "SELECT doc_id, lang, n_chars, rank_in_group FROM ("
+        "SELECT doc_id, lang, n_chars, row_number() OVER ("
+        "PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) "
+        "AS rank_in_group FROM documents) WHERE rank_in_group <= 3"
     )
     from ps_projekt_pagerank_spark.operators.dedup import chunk_dup_stats_sql
 

@@ -344,3 +344,95 @@ def degree_assortativity_sql(edges_sql: str) -> str:
         "m AS (SELECT " + ", ".join(moment_cols) + " FROM x) "
         + " UNION ALL ".join(selects)
     )
+
+
+def edge_table_report(edges: DataFrame) -> DataFrame:
+    """One row of edge-table health stats — the validation every crawl
+    ingest runs before graph build: (n_edges, n_null_endpoints,
+    n_self_loops, n_distinct_edges, dup_fraction, n_nodes, n_sinks,
+    sink_fraction, min_id, max_id). All counts are exact BIGINTs; the two
+    fractions are single IEEE divisions — engine-exact.
+
+    Scale: one pass for the row stats + one distinct + two degree aggs;
+    every aggregate is map-side combinable, no joins beyond the |V|-row
+    sink check, no windows.
+    """
+    base = edges.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(
+            (F.col("src").isNull() | F.col("dst").isNull()).cast("long")
+        ).alias("n_null_endpoints"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias(
+            "n_self_loops"
+        ),
+        F.least(F.min("src"), F.min("dst")).alias("min_id"),
+        F.greatest(F.max("src"), F.max("dst")).alias("max_id"),
+    )
+    dist = edges.select("src", "dst").distinct().agg(
+        F.count("*").alias("n_distinct_edges")
+    )
+    srcs = edges.select(F.col("src").alias("id")).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sinks = nodes.join(srcs, "id", "left_anti")
+    counts = nodes.agg(F.count("*").alias("n_nodes")).crossJoin(
+        sinks.agg(F.count("*").alias("n_sinks"))
+    )
+    return (
+        base.crossJoin(dist)
+        .crossJoin(counts)
+        .select(
+            "n_edges",
+            "n_null_endpoints",
+            "n_self_loops",
+            "n_distinct_edges",
+            F.when(
+                F.col("n_edges") > 0,
+                F.lit(1.0)
+                - F.col("n_distinct_edges").cast("double")
+                / F.col("n_edges").cast("double"),
+            ).alias("dup_fraction"),
+            "n_nodes",
+            "n_sinks",
+            F.when(
+                F.col("n_nodes") > 0,
+                F.col("n_sinks").cast("double")
+                / F.col("n_nodes").cast("double"),
+            ).alias("sink_fraction"),
+            "min_id",
+            "max_id",
+        )
+    )
+
+
+def edge_table_report_sql(edges_sql: str) -> str:
+    """DuckDB twin — identical exact counts and IEEE divisions."""
+    return (
+        f"WITH e AS (SELECT src, dst FROM ({edges_sql})), "
+        "base AS (SELECT count(*) AS n_edges, "
+        "CAST(sum(CASE WHEN src IS NULL OR dst IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_null_endpoints, "
+        "CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_self_loops, "
+        "least(min(src), min(dst)) AS min_id, "
+        "greatest(max(src), max(dst)) AS max_id FROM e), "
+        "dist AS (SELECT count(*) AS n_distinct_edges FROM "
+        "(SELECT DISTINCT src, dst FROM e)), "
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e)), "
+        "srcs AS (SELECT DISTINCT src AS id FROM e), "
+        "counts AS (SELECT (SELECT count(*) FROM nodes) AS n_nodes, "
+        "(SELECT count(*) FROM nodes n WHERE NOT EXISTS "
+        "(SELECT 1 FROM srcs s WHERE s.id = n.id)) AS n_sinks) "
+        "SELECT n_edges, n_null_endpoints, n_self_loops, n_distinct_edges, "
+        "CASE WHEN n_edges > 0 THEN 1.0 - CAST(n_distinct_edges AS DOUBLE) "
+        "/ CAST(n_edges AS DOUBLE) END AS dup_fraction, "
+        "n_nodes, n_sinks, "
+        "CASE WHEN n_nodes > 0 THEN CAST(n_sinks AS DOUBLE) / "
+        "CAST(n_nodes AS DOUBLE) END AS sink_fraction, "
+        "min_id, max_id "
+        "FROM base CROSS JOIN dist CROSS JOIN counts"
+    )

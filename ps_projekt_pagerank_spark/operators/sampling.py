@@ -251,3 +251,31 @@ def corpus_splits(
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     # rows above the last bound also land in the last split (remainder)
     return df.select("*", expr.alias("split"))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """``df`` filtered to each group's top-``k`` rows by ``order_col``
+    descending (ties broken by ``tiebreak_col`` ascending), plus a
+    ``rank_in_group`` column — best pages per host, best docs per
+    language, canonical URL per duplicate cluster.
+
+    Scale: ONE window partitioned by the group key — each partition is
+    one group, so this is the safe windowed shape (never a global sort);
+    a skewed giant group degrades to that group's sort only. Exact
+    cross-engine ordering requires ``order_col``/``tiebreak_col`` to be
+    integer-valued or pre-rounded.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return df.select(
+        "*", F.row_number().over(w).alias("rank_in_group")
+    ).where(F.col("rank_in_group") <= int(k))

@@ -1,0 +1,54 @@
+"""Edge-table validation report and top-k-per-group vs pure-Python
+replications and the DuckDB twins."""
+
+import duckdb
+
+from ps_projekt_pagerank_spark.operators.graph import (
+    edge_table_report,
+    edge_table_report_sql,
+)
+from ps_projekt_pagerank_spark.operators.sampling import top_k_per_group
+
+EDGES = [(0, 1), (0, 1), (1, 1), (2, 3), (3, 0), (9, 2)]
+
+
+def test_edge_report_values(spark):
+    df = spark.createDataFrame(EDGES, "src LONG, dst LONG")
+    r = edge_table_report(df).collect()[0]
+    assert r["n_edges"] == 6
+    assert r["n_null_endpoints"] == 0
+    assert r["n_self_loops"] == 1
+    assert r["n_distinct_edges"] == 5
+    assert r["dup_fraction"] == 1.0 - 5.0 / 6.0
+    assert r["n_nodes"] == 5  # {0,1,2,3,9}
+    assert r["n_sinks"] == 0  # every node appears as a src... except none
+    assert (r["min_id"], r["max_id"]) == (0, 9)
+
+
+def test_edge_report_sinks_and_twin(spark):
+    edges = [(0, 1), (1, 2), (3, 2)]  # sinks: 2
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = tuple(edge_table_report(df).collect()[0])
+    values = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = edge_table_report_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)"
+    )
+    oracle = duckdb.connect().execute(sql).fetchone()
+    assert got == oracle
+    assert got[6] == 1 and got[7] == 0.25  # n_sinks, sink_fraction
+
+
+def test_top_k_per_group(spark):
+    rows = [
+        (0, "en", 100), (1, "en", 300), (2, "en", 300), (3, "en", 50),
+        (4, "fr", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, n_chars LONG")
+    got = {
+        (r["lang"], r["rank_in_group"]): r["doc_id"]
+        for r in top_k_per_group(
+            df, "lang", "n_chars", 2, "doc_id"
+        ).collect()
+    }
+    # ties (1,2 at 300) break by doc_id ascending
+    assert got == {("en", 1): 1, ("en", 2): 2, ("fr", 1): 4}
