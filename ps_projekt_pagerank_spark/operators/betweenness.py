@@ -62,35 +62,38 @@ def betweenness_sampled(
     dist = bfs_per_seed(e, seeds, max_depth).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    dist.count()
+    # ONE action learns which levels exist (the driver loops over them —
+    # no per-level isEmpty probes) and materializes dist for all readers
+    deepest = int(
+        dist.agg(F.max("dist").alias("m")).first()["m"] or 0
+    )
 
-    # forward: σ level by level (σ of level 0 = 1)
+    # forward: σ level by level (σ of level 0 = 1); the chain is pure
+    # plan construction — sig_all's single materialization below
+    # evaluates it (plan depth = #levels, bounded by max_depth)
     sigma = dist.where(F.col("dist") == 0).select(
         "seed", "id", F.lit(1).cast("long").alias("sigma")
     )
     sig_all = sigma
-    for k in range(1, max_depth + 1):
+    for k in range(1, deepest + 1):
         lvl = dist.where(F.col("dist") == k).select("seed", "id")
-        if lvl.isEmpty():
-            break
         nxt = (
             sigma.join(e, sigma["id"] == e["src"])
             .select("seed", F.col("dst").alias("id"), "sigma")
             .join(lvl, ["seed", "id"])  # only true level-k nodes count
             .groupBy("seed", "id")
             .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
         )
         sigma = nxt
         sig_all = sig_all.unionAll(nxt)
-    sig_all = sig_all.join(dist, ["seed", "id"]).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig_all = sig_all.join(dist, ["seed", "id"]).localCheckpoint(
+        eager=True
     )
-    sig_all.count()
 
     # backward: δ_nano level by level, deepest first; δ at the deepest
-    # level is 0, so start the accumulator empty
-    deepest = sig_all.agg(F.max("dist").alias("m")).first()["m"]
+    # level is 0, so start the accumulator empty. Pure plan construction
+    # off the checkpointed sig_all — the final per-node aggregate is the
+    # ONE action that evaluates the whole backward DAG.
     delta = None  # (seed, id, d_nano) for levels > k
     acc = []  # per-level contributions to the final per-node sum
     for k in range(int(deepest) - 1, -1, -1):
@@ -135,8 +138,10 @@ def betweenness_sampled(
             .agg(F.sum("t").alias("d_nano"))
         )
         # nodes at level k with no level-(k+1) successors keep δ = 0 and
-        # contribute nothing; only non-zero δ rows persist
-        delta = terms.localCheckpoint(eager=True)
+        # contribute nothing; only non-zero δ rows persist. δ at level k
+        # feeds both level k-1 and the final sum — the chain depth is
+        # bounded by max_depth, so lazy plans suffice (no checkpoints).
+        delta = terms
         acc.append(delta)
         del dn
 
@@ -167,9 +172,11 @@ def betweenness_sampled(
             / F.lit(float(NANO))
         ).alias("betweenness"),
     )
+    # materialize (|V| rows) so the persisted inputs release eagerly;
+    # repeated δ subtrees inside this one job dedupe via ReusedExchange
+    out = out.localCheckpoint(eager=True)
     e.unpersist(blocking=False)
     dist.unpersist(blocking=False)
-    sig_all.unpersist(blocking=False)
     return out
 
 
