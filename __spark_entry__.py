@@ -318,6 +318,14 @@ def _q_bfs_hopplot(spark, sf_dir):
 _DIAM_SEEDS = [0, 17, 42, 99]
 
 
+def _q_events_trending(spark, sf_dir):
+    from ps_projekt_pagerank_spark.streaming.events import (
+        trending_event_types,
+    )
+
+    return trending_event_types(D.events(spark, sf_dir), k=3)
+
+
 def _q_edge_report(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.graph import edge_table_report
 
@@ -863,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_batch3": _q_ppr_batch,
         "g_edge_report": _q_edge_report,
         "smp_top_docs_per_lang": _q_top_docs_per_lang,
+        "events_trending": _q_events_trending,
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
@@ -1678,6 +1687,15 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["g_edge_report"] = edge_table_report_sql(_WEB)
+    sqls["events_trending"] = (
+        "WITH c AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) "
+        "* 3600 AS window_start, event_type, count(*) AS n_events "
+        "FROM events GROUP BY 1, 2) "
+        "SELECT window_start, event_type, n_events, rank_in_group FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY window_start "
+        "ORDER BY n_events DESC, event_type ASC) AS rank_in_group FROM c) "
+        "WHERE rank_in_group <= 3"
+    )
     sqls["smp_top_docs_per_lang"] = (
         "SELECT doc_id, lang, n_chars, rank_in_group FROM ("
         "SELECT doc_id, lang, n_chars, row_number() OVER ("

@@ -122,3 +122,78 @@ def stream_dedup_first_seen(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {queryName}")
+
+
+TRENDING_WINDOW_SECONDS = 3600
+
+
+def trending_event_types(events: DataFrame, k: int = 3) -> DataFrame:
+    """(window_start BIGINT epoch-secs, event_type, n_events,
+    rank_in_group) — the top-``k`` event types per tumbling hour: the
+    "what's trending" dashboard query. Counts are exact; ranking ties
+    break by event_type ascending (engine-exact ordering on integers +
+    strings).
+
+    Scale: one windowed hash agg, then ONE window partitioned by the
+    time bucket — each partition is a single hour's type table (tiny),
+    never a global sort.
+    """
+    from ps_projekt_pagerank_spark.operators.sampling import top_k_per_group
+
+    bucket = (
+        (F.unix_timestamp("ts").cast("long") / TRENDING_WINDOW_SECONDS)
+        .cast("long")
+        * TRENDING_WINDOW_SECONDS
+    )
+    counts = events.groupBy(
+        bucket.alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    return top_k_per_group(
+        counts, "window_start", "n_events", k, "event_type"
+    )
+
+
+def stream_trending_event_types(
+    spark: SparkSession,
+    parquet_dir: str,
+    k: int = 3,
+    queryName: str = "events_trending",
+) -> DataFrame:
+    """Streaming variant: the windowed counts run as a watermark-bounded
+    streaming aggregation; the per-window top-k runs on the completed
+    memory-sink table (in production the sink is a table the dashboard
+    ranks at read time — ranking inside the stream would need complete-
+    mode state for every window ever seen)."""
+    from ps_projekt_pagerank_spark.operators.sampling import top_k_per_group
+
+    schema = spark.read.parquet(parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").cast("long").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return top_k_per_group(
+        spark.sql(f"SELECT * FROM {queryName}"),
+        "window_start",
+        "n_events",
+        k,
+        "event_type",
+    )

@@ -160,3 +160,39 @@ def test_sessionized_gap_semantics(spark):
         (1, epoch(mins(0))): (4, 10.0),
         (2, epoch(mins(5))): (1, 9.0),
     }
+
+
+def test_trending_stream_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from ps_projekt_pagerank_spark.streaming.events import (
+        stream_trending_event_types,
+        trending_event_types,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "scroll", "error", "purchase"]
+    rows = [
+        (i, base + dt.timedelta(seconds=211 * i), types[i * i % 5],
+         float(i))
+        for i in range(300)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    pdir = str(tmp_path / "trend_events")
+    events.write.parquet(pdir)
+
+    batch = {
+        (r["window_start"], r["rank_in_group"]): (r["event_type"], r["n_events"])
+        for r in trending_event_types(
+            spark.read.parquet(pdir), k=2
+        ).collect()
+    }
+    streamed = {
+        (r["window_start"], r["rank_in_group"]): (r["event_type"], r["n_events"])
+        for r in stream_trending_event_types(spark, pdir, k=2).collect()
+    }
+    assert batch == streamed
+    assert len(batch) > 10
+    assert all(rk in (1, 2) for _, rk in batch)
