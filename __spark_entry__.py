@@ -249,6 +249,12 @@ def _q_corpus_pipeline(spark, sf_dir):
     return corpus_pipeline(docs.unionAll(dups))
 
 
+def _q_lm_bigram_surprisal(spark, sf_dir):
+    return tx.lm_bigram_surprisal_stats(
+        D.documents(spark, sf_dir).select("doc_id", "text")
+    )
+
+
 def _q_lm_surprisal(spark, sf_dir):
     return tx.lm_surprisal_stats(
         D.documents(spark, sf_dir).select("doc_id", "text")
@@ -876,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
         "text_lm_surprisal": _q_lm_surprisal,
+        "text_lm_bigram_surprisal": _q_lm_bigram_surprisal,
         "text_tfidf_top5": _q_tfidf_top5,
         "e2e_corpus_filter": _q_corpus_pipeline,
         "text_pmi_bigrams": _q_pmi_bigrams,
@@ -1722,6 +1729,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, embedding FROM embeddings"
     )
     sqls["text_lm_surprisal"] = tx.lm_surprisal_sql(
+        "SELECT doc_id, text FROM documents"
+    )
+    sqls["text_lm_bigram_surprisal"] = tx.lm_bigram_surprisal_sql(
         "SELECT doc_id, text FROM documents"
     )
     sqls["text_tfidf_top5"] = tx.tfidf_top_terms_sql(

@@ -443,3 +443,89 @@ def pmi_collocations_sql(
         "CAST(length(bin(_ratio)) - 1 AS BIGINT) AS pmi_bits "
         f"FROM j WHERE _ratio >= {2 ** int(min_pmi_bits)}"
     )
+
+
+def lm_bigram_surprisal_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, cond_bits_per_bigram) — bigram conditional
+    surprisal against the corpus's own bigram counts: mean over a doc's
+    adjacent pairs (x,y) of floor(log2(c(x)/c(x,y))) — "given x, how
+    surprising is y" — the step past ``lm_surprisal_stats``' unigram
+    model (a doc full of common words in an uncommon ORDER scores high
+    here and low there). Same no-floating-log contract: the per-pair
+    bits are length(bin(c_x div c_xy)) - 1 (c_x counts x as a bigram
+    PREFIX, so c_x >= c_xy > 0 always), the mean is one IEEE division of
+    exact BIGINTs. Docs with < 2 tokens get 0 bigrams and NULL bits.
+
+    Scale: one bigram explode, one bigram-count agg, one prefix-count
+    agg (derived from the bigram counts — no second pass over tokens),
+    one equi-join; all map-side combinable.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokens(F.lower(text_col)), lambda t: t != "").alias(
+            "toks"
+        ),
+    )
+    n_sz = F.size("toks")
+    big = toks.select(
+        "doc_id",
+        F.when(
+            n_sz >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n_sz - 2),
+                lambda i: F.struct(
+                    F.element_at("toks", i + 1).alias("w1"),
+                    F.element_at("toks", i + 2).alias("w2"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        .alias("bg"),
+    ).select("doc_id", F.explode("bg").alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    cxy = big.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
+    cx = cxy.groupBy("w1").agg(F.sum("cxy").alias("cx"))
+    j = big.join(cxy, ["w1", "w2"]).join(cx, "w1")
+    per = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(
+            F.length(F.bin(F.expr("cx div cxy"))).cast("long") - 1
+        ).alias("sum_bits"),
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        (
+            F.col("sum_bits").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("cond_bits_per_bigram"),
+    )
+
+
+def lm_bigram_surprisal_sql(docs_sql: str) -> str:
+    """DuckDB twin — identical bigram explode and bin/div chain."""
+    return (
+        f"WITH d AS (SELECT doc_id, text FROM ({docs_sql})), "
+        "tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "t -> t <> '') AS toks FROM d), "
+        "bg AS (SELECT doc_id, toks[CAST(i + 1 AS INT)] AS w1, "
+        "toks[CAST(i + 2 AS INT)] AS w2 FROM "
+        "(SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i "
+        "FROM tk)), "
+        "cxy AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY w1, w2), "
+        "cx AS (SELECT w1, CAST(sum(cxy) AS BIGINT) AS cx FROM cxy "
+        "GROUP BY w1), "
+        "j AS (SELECT bg.doc_id, cx.cx, cxy.cxy FROM bg "
+        "JOIN cxy ON bg.w1 = cxy.w1 AND bg.w2 = cxy.w2 "
+        "JOIN cx ON bg.w1 = cx.w1), "
+        "per AS (SELECT doc_id, count(*) AS n_bigrams, "
+        "CAST(sum(length(bin(cx // cxy)) - 1) AS BIGINT) AS sum_bits "
+        "FROM j GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, "
+        "CAST(p.sum_bits AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS "
+        "cond_bits_per_bigram "
+        "FROM d LEFT JOIN per p USING (doc_id)"
+    )

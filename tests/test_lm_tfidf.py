@@ -121,3 +121,53 @@ def test_tfidf_matches_python_and_duckdb(spark):
         for r in duckdb.connect().execute(sql).fetchall()
     }
     assert got == oracle
+
+
+def _py_bigram_lm(docs):
+    from collections import Counter
+
+    big = Counter()
+    per_doc = {}
+    for did, txt in docs:
+        toks = [t for t in txt.lower().split(" ") if t]
+        pairs = list(zip(toks, toks[1:]))
+        per_doc[did] = pairs
+        big.update(pairs)
+    cx = Counter()
+    for (x, _), c in big.items():
+        cx[x] += c
+    out = {}
+    for did, pairs in per_doc.items():
+        if not pairs:
+            out[did] = (0, None)
+            continue
+        bits = sum(int(math.log2(cx[x] // big[(x, y)])) for x, y in pairs)
+        out[did] = (len(pairs), float(bits) / len(pairs))
+    return out
+
+
+def test_bigram_surprisal_matches_python_and_duckdb(spark):
+    from ps_projekt_pagerank_spark.functions.text import (
+        lm_bigram_surprisal_sql,
+        lm_bigram_surprisal_stats,
+    )
+
+    docs = DOCS + [(4, "solo")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cond_bits_per_bigram"])
+        for r in lm_bigram_surprisal_stats(df).collect()
+    }
+    assert got == _py_bigram_lm(docs)
+    assert got[4] == (0, None)  # single token -> no bigrams
+    # "the the the the": bigram (the,the) always follows "the" in doc 3,
+    # but "the" also prefixes cat/dog -> cond bits > 0
+    values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    sql = lm_bigram_surprisal_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
