@@ -324,6 +324,26 @@ def _q_bfs_hopplot(spark, sf_dir):
 _DIAM_SEEDS = [0, 17, 42, 99]
 
 
+def _q_anchor_postings(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.extraction import (
+        anchor_postings,
+        anchor_texts,
+    )
+
+    return anchor_postings(anchor_texts(_synthetic_pages(spark, sf_dir)))
+
+
+def _q_anchor_search(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.extraction import (
+        anchor_search,
+        anchor_texts,
+    )
+
+    return anchor_search(
+        anchor_texts(_synthetic_pages(spark, sf_dir)), ["x", "y"], k=10
+    )
+
+
 def _q_events_trending(spark, sf_dir):
     from ps_projekt_pagerank_spark.streaming.events import (
         trending_event_types,
@@ -878,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_edge_report": _q_edge_report,
         "smp_top_docs_per_lang": _q_top_docs_per_lang,
         "events_trending": _q_events_trending,
+        "s4_anchor_postings": _q_anchor_postings,
+        "s4_anchor_search": _q_anchor_search,
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
@@ -2119,6 +2141,31 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n_unique_anchors, "
         "substr(min(printf('%010d#%s', 999999999 - n, anchor)), 12) "
         "AS top_anchor FROM c GROUP BY dst_url"
+    )
+    _ANCH = (
+        "SELECT 'u' || (doc_id * 7 % 500)::VARCHAR AS dst_url, "
+        "'x' AS term FROM documents "
+        "UNION ALL SELECT 'u' || (doc_id * 13 % 500)::VARCHAR, 'y' "
+        "FROM documents"
+    )
+    sqls["s4_anchor_postings"] = (
+        f"WITH a AS ({_ANCH}), "
+        "tf AS (SELECT term, dst_url, count(*) AS tf FROM a "
+        "GROUP BY term, dst_url), "
+        "dfq AS (SELECT term, count(*) AS df_term FROM tf GROUP BY term) "
+        "SELECT tf.term, tf.dst_url, tf.tf, dfq.df_term "
+        "FROM tf JOIN dfq ON tf.term = dfq.term"
+    )
+    sqls["s4_anchor_search"] = (
+        f"WITH a AS ({_ANCH}), "
+        "tf AS (SELECT term, dst_url, count(*) AS tf FROM a "
+        "GROUP BY term, dst_url), "
+        "hits AS (SELECT dst_url, CAST(sum(tf) AS BIGINT) AS score, "
+        "count(*) AS n_terms_hit FROM tf WHERE term IN ('x', 'y') "
+        "GROUP BY dst_url) "
+        "SELECT dst_url, score, n_terms_hit FROM hits "
+        "ORDER BY printf('%019d', 1000000000000000000 - score) || '#' || "
+        "dst_url LIMIT 10"
     )
     from ps_projekt_pagerank_spark.functions.urls import normalize_url_sql
 

@@ -178,3 +178,60 @@ def anchor_summary(anchors: DataFrame) -> DataFrame:
         F.count("*").alias("n_unique_anchors"),
         F.substring(F.min(key), 12, 1 << 20).alias("top_anchor"),
     )
+
+
+def anchor_postings(anchors: DataFrame) -> DataFrame:
+    """(term, dst_url, tf, df_term) — the anchor-text inverted index:
+    for every anchor TERM, the pages it points at with term frequency
+    (how often the term appears in anchors targeting that page) and the
+    term's posting-list length. This is the index web search serves
+    "miserable failure"-style anchor queries from — anchor terms describe
+    the TARGET, so the posting key is dst_url.
+
+    Scale: one term explode over the anchor rows, a (term, dst_url) hash
+    agg, and a term-keyed agg for df joined back — all map-side
+    combinable; posting lists shard naturally by term.
+    """
+    terms = anchors.select(
+        "dst_url",
+        F.explode(F.split(F.lower("anchor"), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("term", "dst_url").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df_term"))
+    return tf.join(df_, "term").select("term", "dst_url", "tf", "df_term")
+
+
+def anchor_search(
+    anchors: DataFrame, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """(dst_url, score, n_terms_hit) — rank pages for a bag-of-words
+    anchor query: score = Σ over query terms of tf on that page (exact
+    BIGINT), requiring at least one hit; top-k by (score desc, dst_url
+    asc). The serving-side read of ``anchor_postings``.
+
+    Scale: the postings are filtered to the |query| terms FIRST (an
+    IN-list the optimizer pushes into the scan), so the join touches
+    |query| posting lists, never the index.
+    """
+    if not query_terms:
+        raise ValueError("anchor_search needs >= 1 query term")
+    qt = [t.lower() for t in query_terms]
+    hits = (
+        anchor_postings(anchors)
+        .where(F.col("term").isin(qt))
+        .groupBy("dst_url")
+        .agg(
+            F.sum("tf").alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    key = F.concat(
+        F.format_string("%019d", F.lit(10**18) - F.col("score")),
+        F.lit("#"),
+        F.col("dst_url"),
+    )
+    ranked = hits.select(
+        "dst_url", "score", "n_terms_hit", key.alias("_k")
+    )
+    topk = ranked.orderBy("_k").limit(int(k))
+    return topk.select("dst_url", "score", "n_terms_hit")

@@ -52,3 +52,32 @@ def test_top_k_per_group(spark):
     }
     # ties (1,2 at 300) break by doc_id ascending
     assert got == {("en", 1): 1, ("en", 2): 2, ("fr", 1): 4}
+
+
+def test_anchor_postings_and_search(spark):
+    from ps_projekt_pagerank_spark.sources.extraction import (
+        anchor_postings,
+        anchor_search,
+    )
+
+    anchors = spark.createDataFrame(
+        [
+            ("a", "t1", "great search engine", 0),
+            ("b", "t1", "search engine", 0),
+            ("c", "t2", "search", 0),
+            ("d", "t2", "engine parts", 0),
+            ("e", "t3", "unrelated", 0),
+        ],
+        "src_url STRING, dst_url STRING, anchor STRING, href_pos INT",
+    )
+    posts = {
+        (r["term"], r["dst_url"]): (r["tf"], r["df_term"])
+        for r in anchor_postings(anchors).collect()
+    }
+    assert posts[("search", "t1")] == (2, 2)  # t1 hit twice, df {t1,t2}
+    assert posts[("engine", "t2")] == (1, 2)
+    ranked = anchor_search(anchors, ["search", "engine"], k=3).collect()
+    # t1: search x2 + engine x2 = 4; t2: search 1 + engine 1 = 2
+    assert [(r["dst_url"], r["score"], r["n_terms_hit"]) for r in ranked] == [
+        ("t1", 4, 2), ("t2", 2, 2),
+    ]
