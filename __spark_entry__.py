@@ -324,6 +324,19 @@ def _q_bfs_hopplot(spark, sf_dir):
 _DIAM_SEEDS = [0, 17, 42, 99]
 
 
+def _q_resolve_redirects(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.urls import resolve_redirects
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    red = (
+        li.select((F.col("l_orderkey") % 4999).alias("src"))
+        .where(F.col("src") % 7 != 0)
+        .select("src", (F.col("src") - 1).alias("dst"))
+        .distinct()
+    )
+    return resolve_redirects(red)
+
+
 def _q_anchor_postings(spark, sf_dir):
     from ps_projekt_pagerank_spark.sources.extraction import (
         anchor_postings,
@@ -900,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trending": _q_events_trending,
         "s4_anchor_postings": _q_anchor_postings,
         "s4_anchor_search": _q_anchor_search,
+        "url_redirects_resolved": _q_resolve_redirects,
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
@@ -2166,6 +2180,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT dst_url, score, n_terms_hit FROM hits "
         "ORDER BY printf('%019d', 1000000000000000000 - score) || '#' || "
         "dst_url LIMIT 10"
+    )
+    from ps_projekt_pagerank_spark.functions.urls import (
+        resolve_redirects_sql,
+    )
+
+    sqls["url_redirects_resolved"] = resolve_redirects_sql(
+        "SELECT DISTINCT src, src - 1 AS dst FROM "
+        "(SELECT l_orderkey % 4999 AS src FROM lineitem) "
+        "WHERE src % 7 <> 0"
     )
     from ps_projekt_pagerank_spark.functions.urls import normalize_url_sql
 

@@ -63,3 +63,73 @@ def normalize_url_sql(expr: str) -> str:
         f"ELSE {rest0} END)"
     )
     return f"({pre} || {rest})"
+
+
+def resolve_redirects(
+    redirects: "DataFrame", max_rounds: int = 32
+) -> "DataFrame":
+    """(src, final) — follow redirect chains to their terminal target by
+    POINTER DOUBLING: each round replaces every mapping src→t with
+    src→(t's mapping, if t itself redirects), so chain length halves...
+    no — DOUBLES in coverage: after r rounds every chain up to 2^r hops
+    is fully resolved. O(log max-chain) rounds instead of O(max-chain) —
+    the difference between 5 and 40 shuffles on pathological chains, and
+    the same primitive Iceberg-scale dedup uses for union-find hooks.
+
+    Input is a mapping table (src, dst) with at most one dst per src
+    (duplicate rows collapse; CONFLICTING dsts for one src raise).
+    Cycles (a→b→a) never terminate at a non-redirecting node; they
+    resolve to the cycle member reached at the doubling fixpoint —
+    detect them upstream (a cycle means both ends still appear as
+    sources in the output's ``final`` column).
+
+    Scale: per round one self-join of the |R|-row mapping on the target
+    key + one fixpoint count; state never exceeds the input mapping.
+    """
+    from pyspark.sql import functions as F
+
+    m = redirects.select("src", "dst").distinct()
+    dup = (
+        m.groupBy("src").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    )
+    if not dup.isEmpty():
+        raise ValueError(
+            "resolve_redirects: conflicting targets for at least one src"
+        )
+    cur = m.select("src", F.col("dst").alias("final")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        nxt_map = cur.select(
+            F.col("src").alias("_t"), F.col("final").alias("_tf")
+        )
+        stepped = (
+            cur.join(nxt_map, cur["final"] == nxt_map["_t"], "left")
+            .select(
+                "src",
+                F.coalesce("_tf", F.col("final")).alias("final"),
+                (F.col("_tf").isNotNull()).cast("long").alias("_moved"),
+            )
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        stepped = stepped.observe(obs, F.sum("_moved").alias("moved"))
+        cur = stepped.select("src", "final").localCheckpoint(eager=True)
+        if int(obs.get["moved"] or 0) == 0:
+            break
+    return cur
+
+
+def resolve_redirects_sql(redirects_sql: str) -> str:
+    """DuckDB twin — recursive single-step following (the closed form the
+    doubling must land on): final(src) = the first reachable node with no
+    outgoing mapping. Assumes acyclic chains (the gate fixture is)."""
+    return (
+        f"WITH RECURSIVE m AS (SELECT DISTINCT src, dst FROM "
+        f"({redirects_sql})), "
+        "walk(src, cur) AS (SELECT src, dst FROM m "
+        "UNION ALL SELECT w.src, m.dst FROM walk w JOIN m ON w.cur = m.src) "
+        "SELECT src, cur AS final FROM walk w "
+        "WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.src = w.cur)"
+    )

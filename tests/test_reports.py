@@ -81,3 +81,33 @@ def test_anchor_postings_and_search(spark):
     assert [(r["dst_url"], r["score"], r["n_terms_hit"]) for r in ranked] == [
         ("t1", 4, 2), ("t2", 2, 2),
     ]
+
+
+def test_resolve_redirects(spark):
+    import duckdb as _duck
+    import pytest as _pytest
+
+    from ps_projekt_pagerank_spark.functions.urls import (
+        resolve_redirects,
+        resolve_redirects_sql,
+    )
+
+    # chain 5->4->3->2->1->0, a short hop 10->11, terminal 0/11
+    red = [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (10, 11)]
+    df = spark.createDataFrame(red, "src LONG, dst LONG")
+    got = {
+        r["src"]: r["final"] for r in resolve_redirects(df).collect()
+    }
+    assert got == {5: 0, 4: 0, 3: 0, 2: 0, 1: 0, 10: 11}
+    values = ", ".join(f"({s}, {d})" for s, d in red)
+    sql = resolve_redirects_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)"
+    )
+    oracle = {
+        r[0]: r[1] for r in _duck.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
+    # conflicting mapping raises
+    bad = spark.createDataFrame([(1, 2), (1, 3)], "src LONG, dst LONG")
+    with _pytest.raises(ValueError):
+        resolve_redirects(bad)
