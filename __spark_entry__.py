@@ -289,6 +289,12 @@ def _q_weighted_sample(spark, sf_dir):
     )
 
 
+def _q_cluster_stats(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.embeddings import cluster_stats
+
+    return cluster_stats(D.embeddings(spark, sf_dir))
+
+
 def _q_quantize_embeddings(spark, sf_dir):
     from ps_projekt_pagerank_spark.functions.embeddings import (
         quantize_embeddings,
@@ -917,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
+        "emb_cluster_stats": _q_cluster_stats,
         "text_lm_surprisal": _q_lm_surprisal,
         "text_lm_bigram_surprisal": _q_lm_bigram_surprisal,
         "text_tfidf_top5": _q_tfidf_top5,
@@ -1763,6 +1770,13 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["emb_quantize_int8"] = quantize_embeddings_sql(
         "SELECT vec_id, embedding FROM embeddings"
+    )
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        cluster_stats_sql,
+    )
+
+    sqls["emb_cluster_stats"] = cluster_stats_sql(
+        "SELECT label, embedding FROM embeddings"
     )
     sqls["text_lm_surprisal"] = tx.lm_surprisal_sql(
         "SELECT doc_id, text FROM documents"

@@ -65,3 +65,60 @@ def quantize_embeddings_sql(embeddings_sql: str) -> str:
         "ELSE 0 END AS q, scale "
         "FROM ex JOIN sc ON ex.vec_id = sc.vec_id"
     )
+
+
+def cluster_stats(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, n_vectors, dim, centroid_norm, mean_sq_norm) — per-cluster
+    embedding diagnostics: cluster size, centroid L2 norm (collapsed
+    clusters → ~0; healthy spread → larger), and the mean squared vector
+    norm. The sanity report an embedding-table ingest runs before ANN
+    index builds.
+
+    Determinism: per-dimension centroid means are rounded to 6dp before
+    the norm (the k-means replay trick — raw FP sums differ across
+    engines in the last ulp under reordering; 6dp absorbs it), and the
+    two norms are rounded to 6dp after the final fixed-length sums.
+
+    Scale: one explode, one (label, dim) agg, one |labels|·dim → |labels|
+    agg; all map-side combinable, no windows, no Python.
+    """
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("m"),
+        F.round(F.avg(F.col("v") * F.col("v")), 6).alias("m2"),
+        F.count("*").alias("n"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.count("*").alias("dim"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias(
+            "centroid_norm"
+        ),
+        F.round(F.sum("m2"), 6).alias("mean_sq_norm"),
+    )
+
+
+def cluster_stats_sql(embeddings_sql: str) -> str:
+    """DuckDB twin — identical explode, per-dim rounding, and final
+    fixed-length sums."""
+    return (
+        "WITH ex0 AS (SELECT label, "
+        "unnest(range(0, len(embedding))) AS dim, embedding AS emb "
+        f"FROM ({embeddings_sql})), "
+        "ex AS (SELECT label, CAST(dim AS INT) AS dim, "
+        "CAST(emb[CAST(dim AS INT) + 1] AS DOUBLE) AS v FROM ex0), "
+        "pd AS (SELECT label, dim, round(avg(v), 6) AS m, "
+        "round(avg(v * v), 6) AS m2, count(*) AS n FROM ex "
+        "GROUP BY label, dim) "
+        "SELECT label, max(n) AS n_vectors, count(*) AS dim, "
+        "round(sqrt(sum(m * m)), 6) AS centroid_norm, "
+        "round(sum(m2), 6) AS mean_sq_norm "
+        "FROM pd GROUP BY label"
+    )

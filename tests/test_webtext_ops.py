@@ -176,3 +176,45 @@ def test_corpus_splits_validation(spark):
         corpus_splits(df, {})
     with _pytest.raises(ValueError):
         corpus_splits(df, {"a": 0.9, "b": 0.2})
+
+
+def test_cluster_stats(spark):
+    import duckdb as _duck
+
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        cluster_stats,
+        cluster_stats_sql,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0], 7), (1, [1.0, 0.0], 7), (2, [0.0, 2.0], 8),
+        (3, [2.0, -2.0], 8), (4, [0.5, 0.5], 8),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    got = {
+        r["label"]: (
+            r["n_vectors"], r["dim"], r["centroid_norm"], r["mean_sq_norm"]
+        )
+        for r in cluster_stats(df).collect()
+    }
+    # label 7: centroid (1,0) -> norm 1; mean sq norm = 1
+    assert got[7] == (2, 2, 1.0, 1.0)
+    # label 8: centroid ((0+2+.5)/3, (2-2+.5)/3) = (0.833333, 0.166667)
+    import math
+
+    m0, m1 = round(2.5 / 3, 6), round(0.5 / 3, 6)
+    assert got[8][2] == round(math.sqrt(m0 * m0 + m1 * m1), 6)
+    values = ", ".join(
+        f"([{', '.join(f'CAST({x} AS FLOAT)' for x in v)}], {lab})"
+        for _, v, lab in vecs
+    )
+    sql = cluster_stats_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(embedding, label)"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in _duck.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
