@@ -246,6 +246,25 @@ def run_suite(spark, sf_dir):
         "delta_edges_pct": 1.0,
     }
 
+    # round-3 graph additions: sampled Brandes betweenness (integer
+    # nano-unit arithmetic) and k-truss peeling — both iterative
+    # join+agg loops over the same derived graphs the gate checks
+    from ps_projekt_pagerank_spark.operators.betweenness import (
+        betweenness_sampled,
+    )
+    from ps_projekt_pagerank_spark.operators.triangles import k_truss
+
+    timed(
+        "betweenness4",
+        lambda: betweenness_sampled(
+            D.sparse_edges(spark, sf_dir), [0, 17, 42, 99], 4
+        ).count(),
+    )
+    timed(
+        "ktruss3",
+        lambda: k_truss(D.sparse_edges(spark, sf_dir), 3).count(),
+    )
+
     # the composed corpus-filter flagship (exact dedup -> chunk cap ->
     # Gopher rule -> weighted sample) as ONE plan over the documents table
     from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline
