@@ -330,6 +330,15 @@ def _q_bfs_hopplot(spark, sf_dir):
 _DIAM_SEEDS = [0, 17, 42, 99]
 
 
+def _q_crawl_schedule(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.hostgraph import crawl_schedule
+
+    frontier = D.url_edges(spark, sf_dir).groupBy(
+        F.col("dst_url").alias("url")
+    ).agg(F.count("*").alias("inlinks"))
+    return crawl_schedule(frontier, "inlinks", per_host_per_round=2)
+
+
 def _q_resolve_redirects(spark, sf_dir):
     from ps_projekt_pagerank_spark.functions.urls import resolve_redirects
 
@@ -920,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_anchor_postings": _q_anchor_postings,
         "s4_anchor_search": _q_anchor_search,
         "url_redirects_resolved": _q_resolve_redirects,
+        "url_crawl_schedule": _q_crawl_schedule,
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
@@ -2199,6 +2209,18 @@ def oracle_sql() -> dict[str, str]:
         resolve_redirects_sql,
     )
 
+    sqls["url_crawl_schedule"] = (
+        "WITH f AS (SELECT dst_url AS url, count(*) AS inlinks "
+        f"FROM ({D.URL_EDGES_SQL}) GROUP BY dst_url), "
+        "h AS (SELECT url, NULLIF(regexp_extract(url, "
+        "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') AS host, inlinks "
+        "FROM f), "
+        "r AS (SELECT url, host, row_number() OVER (PARTITION BY host "
+        "ORDER BY inlinks DESC, url ASC) AS rank_in_host FROM h "
+        "WHERE host IS NOT NULL) "
+        "SELECT url, host, rank_in_host, "
+        "CAST((rank_in_host - 1) // 2 + 1 AS INT) AS fetch_round FROM r"
+    )
     sqls["url_redirects_resolved"] = resolve_redirects_sql(
         "SELECT DISTINCT src, src - 1 AS dst FROM "
         "(SELECT l_orderkey % 4999 AS src FROM lineitem) "

@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 def host_of(url: Column) -> Column:
     """Authority (host) component of an absolute URL; NULL when the value
     has no parseable host (relative hrefs, fragments, garbage)."""
-    return F.parse_url(url, F.lit("HOST"))
+    # try_parse_url: crawl data contains malformed URLs, and Spark 4's
+    # strict parse_url THROWS on them — the dropped-rows contract below
+    # needs NULL, not a failed stage
+    return F.try_parse_url(url, F.lit("HOST"))
 
 
 def host_edges(
@@ -106,3 +109,46 @@ def host_pagerank(
     )
     g.unpersist()
     return out
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    priority_col: str,
+    url_col: str = "url",
+    per_host_per_round: int = 1,
+) -> DataFrame:
+    """(url, host, rank_in_host, fetch_round) — a politeness-constrained
+    crawl schedule: within each host, urls are ordered by ``priority_col``
+    descending (ties by url ascending) and assigned to fetch rounds of at
+    most ``per_host_per_round`` urls per host — the frontier scheduler's
+    contract that no round hammers one host while respecting global
+    priority within the host. fetch_round r is the set a crawler with
+    per-round host budgets fetches in parallel at step r.
+
+    Scale: ONE window partitioned by host (each partition is one host's
+    frontier — the politeness unit), then a pure projection; rounds come
+    from integer division, no second pass. priority must be integer-
+    valued (or pre-rounded) for exact cross-engine ordering.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col(priority_col).desc(), F.col("url").asc()
+    )
+    base = urls.select(
+        F.col(url_col).alias("url"),
+        host_of(F.col(url_col)).alias("host"),
+        F.col(priority_col),
+    ).where(F.col("host").isNotNull())
+    ranked = base.select(
+        "url", "host", F.row_number().over(w).alias("rank_in_host")
+    )
+    k = int(per_host_per_round)
+    return ranked.select(
+        "url",
+        "host",
+        "rank_in_host",
+        (
+            F.floor((F.col("rank_in_host") - 1) / k) + 1
+        ).cast("int").alias("fetch_round"),
+    )

@@ -111,3 +111,25 @@ def test_resolve_redirects(spark):
     bad = spark.createDataFrame([(1, 2), (1, 3)], "src LONG, dst LONG")
     with _pytest.raises(ValueError):
         resolve_redirects(bad)
+
+
+def test_crawl_schedule(spark):
+    from ps_projekt_pagerank_spark.operators.hostgraph import crawl_schedule
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a.test/1", 10), ("http://a.test/2", 5),
+            ("http://a.test/3", 5), ("http://b.test/1", 99),
+            ("not a url", 1),
+        ],
+        "url STRING, prio LONG",
+    )
+    got = {
+        r["url"]: (r["host"], r["rank_in_host"], r["fetch_round"])
+        for r in crawl_schedule(urls, "prio", per_host_per_round=2).collect()
+    }
+    assert "not a url" not in got  # unparseable host dropped
+    assert got["http://a.test/1"] == ("a.test", 1, 1)
+    assert got["http://a.test/2"] == ("a.test", 2, 1)  # tie -> url asc
+    assert got["http://a.test/3"] == ("a.test", 3, 2)  # politeness spill
+    assert got["http://b.test/1"] == ("b.test", 1, 1)
