@@ -414,6 +414,23 @@ def _q_ppr_batch(spark, sf_dir):
     )
 
 
+def _q_wl_colors(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.wl import wl_colors
+
+    return wl_colors(D.sparse_edges(spark, sf_dir), rounds=2)
+
+
+def _q_wl_histogram(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.wl import (
+        wl_color_histogram,
+        wl_colors,
+    )
+
+    return wl_color_histogram(
+        wl_colors(D.sparse_edges(spark, sf_dir), rounds=2)
+    )
+
+
 def _q_ktruss3(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.triangles import k_truss
 
@@ -922,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_eff_diameter": _q_eff_diameter,
         "g_betweenness": _q_betweenness,
         "g_ktruss3": _q_ktruss3,
+        "g_wl_colors": _q_wl_colors,
+        "g_wl_histogram": _q_wl_histogram,
         "ppr_batch3": _q_ppr_batch,
         "g_edge_report": _q_edge_report,
         "smp_top_docs_per_lang": _q_top_docs_per_lang,
@@ -1735,6 +1754,13 @@ def oracle_sql() -> dict[str, str]:
     # rounds=3: the gate graph's peel fixpoint is after round 1 (measured
     # in DuckDB: 12162 edges at rounds 1 and 2); extra rounds are identity
     sqls["g_ktruss3"] = k_truss_sql(_SPARSE, 3, rounds=3)
+    from ps_projekt_pagerank_spark.operators.wl import wl_colors_sql
+
+    sqls["g_wl_colors"] = wl_colors_sql(_SPARSE, rounds=2)
+    sqls["g_wl_histogram"] = (
+        f"WITH w AS ({wl_colors_sql(_SPARSE, rounds=2)}) "
+        "SELECT wl_color, count(*) AS n_nodes FROM w GROUP BY wl_color"
+    )
     from ps_projekt_pagerank_spark.operators.pagerank import (
         pagerank_personalized_batch_sql,
     )
