@@ -192,6 +192,12 @@ def _q_cc_summary(spark, sf_dir):
     )
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    return tx.vocab_coverage(
+        D.documents(spark, sf_dir).select("doc_id", "text"), top_k=100
+    )
+
+
 def _q_vocab_by_lang_fm(spark, sf_dir):
     from ps_projekt_pagerank_spark.functions.sketches import (
         fm_count_distinct_by_key,
@@ -961,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_fm": _q_vocab_fm,
         "smp_corpus_splits": _q_corpus_splits,
         "text_vocab_by_lang_fm": _q_vocab_by_lang_fm,
+        "text_vocab_coverage": _q_vocab_coverage,
         "lp_labels": _q_labelprop,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
@@ -1843,6 +1850,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_vocab_fm"] = fm_count_distinct_sql(
         "SELECT v FROM (SELECT unnest(string_split(lower(text), ' ')) AS v "
         "FROM documents) WHERE v <> ''",
+    )
+    sqls["text_vocab_coverage"] = tx.vocab_coverage_sql(
+        "SELECT doc_id, text FROM documents", 100
     )
     from ps_projekt_pagerank_spark.functions.sketches import (
         fm_count_distinct_by_key_sql,

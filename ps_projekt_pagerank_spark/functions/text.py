@@ -529,3 +529,85 @@ def lm_bigram_surprisal_sql(docs_sql: str) -> str:
         "cond_bits_per_bigram "
         "FROM d LEFT JOIN per p USING (doc_id)"
     )
+
+
+def vocab_coverage(
+    docs: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """(vocab_rank, token, token_count, cum_count, coverage) — the
+    tokenizer-budget curve: corpus coverage achieved by the top-N most
+    frequent tokens (rank ties by token ascending). Reading "the top 50
+    tokens cover 61% of all occurrences" is how a vocabulary size /
+    stopword cut is chosen.
+
+    Scale: one token-count agg, a global top-k CAP (ORDER BY + LIMIT on
+    the |vocab|-row count table — a TakeOrdered, not a full sort), then
+    the cumulative sum via a <= self-join on the CAPPED k rows (k², k ≤
+    a few hundred — never a global window). Coverage is an IEEE division
+    of exact BIGINTs.
+    """
+    cnt = (
+        docs.select(
+            F.explode(tokens(F.lower(text_col))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    total = cnt.agg(F.sum("c").alias("total"))
+    key = F.concat(
+        F.format_string("%019d", F.lit(10**18) - F.col("c")),
+        F.lit("#"),
+        F.col("tok"),
+    )
+    top = (
+        cnt.select(F.col("tok").alias("token"), F.col("c"), key.alias("_k"))
+        .orderBy("_k")
+        .limit(int(top_k))
+    )
+    a = top.select(
+        F.col("token"), F.col("c").alias("token_count"), F.col("_k")
+    )
+    b = top.select(F.col("c").alias("_bc"), F.col("_k").alias("_bk"))
+    cum = (
+        a.join(b, F.col("_bk") <= F.col("_k"))
+        .groupBy("token", "token_count", "_k")
+        .agg(F.sum("_bc").alias("cum_count"), F.count("*").alias("vocab_rank"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            F.col("vocab_rank").cast("int").alias("vocab_rank"),
+            "token",
+            "token_count",
+            "cum_count",
+            (
+                F.col("cum_count").cast("double")
+                / F.col("total").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+def vocab_coverage_sql(docs_sql: str, top_k: int = 100) -> str:
+    """DuckDB twin — identical printf rank key, capped <= self-join, and
+    IEEE division."""
+    return (
+        f"WITH d AS (SELECT text FROM ({docs_sql})), "
+        "occ AS (SELECT unnest(string_split(lower(text), ' ')) AS tok "
+        "FROM d), "
+        "cnt AS (SELECT tok, count(*) AS c FROM occ WHERE tok <> '' "
+        "GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt), "
+        "top AS (SELECT tok AS token, c, printf('%019d#%s', "
+        "1000000000000000000 - c, tok) AS _k FROM cnt "
+        f"ORDER BY _k LIMIT {int(top_k)}), "
+        "cum AS (SELECT a.token, a.c AS token_count, "
+        "CAST(sum(b.c) AS BIGINT) AS cum_count, "
+        "CAST(count(*) AS INT) AS vocab_rank "
+        "FROM top a JOIN top b ON b._k <= a._k "
+        "GROUP BY a.token, a.c) "
+        "SELECT vocab_rank, token, token_count, cum_count, "
+        "CAST(cum_count AS DOUBLE) / CAST(total AS DOUBLE) AS coverage "
+        "FROM cum CROSS JOIN tot"
+    )

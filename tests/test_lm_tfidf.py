@@ -171,3 +171,34 @@ def test_bigram_surprisal_matches_python_and_duckdb(spark):
         for r in duckdb.connect().execute(sql).fetchall()
     }
     assert got == oracle
+
+
+def test_vocab_coverage(spark):
+    from ps_projekt_pagerank_spark.functions.text import (
+        vocab_coverage,
+        vocab_coverage_sql,
+    )
+
+    docs = [(0, "a a a b b c"), (1, "a b d")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r["vocab_rank"]: (
+            r["token"], r["token_count"], r["cum_count"], r["coverage"]
+        )
+        for r in vocab_coverage(df, top_k=3).collect()
+    }
+    # counts: a=4 b=3 c=1 d=1 (total 9); top-3 ties c/d -> c wins by token
+    assert got == {
+        1: ("a", 4, 4, 4 / 9),
+        2: ("b", 3, 7, 7 / 9),
+        3: ("c", 1, 8, 8 / 9),
+    }
+    values = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    sql = vocab_coverage_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)", 3
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
