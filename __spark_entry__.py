@@ -463,6 +463,18 @@ def _q_eff_diameter(spark, sf_dir):
     )
 
 
+def _q_sssp_weighted(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.bfs import sssp_weighted
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    we = li.select(
+        (F.col("l_orderkey") % 4999).alias("src"),
+        (F.col("l_partkey") % 4999).alias("dst"),
+        ((F.col("l_suppkey") % 7) + 1).alias("w"),
+    )
+    return sssp_weighted(we, seeds=_BFS_SEEDS, rounds=4)
+
+
 def _q_modularity_lp(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.modularity import modularity
 
@@ -943,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bfs_dist4": _q_bfs_distances,
         "g_bfs_hopplot": _q_bfs_hopplot,
         "g_eff_diameter": _q_eff_diameter,
+        "g_sssp_weighted4": _q_sssp_weighted,
         "g_betweenness": _q_betweenness,
         "g_ktruss3": _q_ktruss3,
         "g_wl_colors": _q_wl_colors,
@@ -1748,6 +1761,14 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["g_eff_diameter"] = effective_diameter_sql(
         _SPARSE, _DIAM_SEEDS, 5
+    )
+    from ps_projekt_pagerank_spark.operators.bfs import sssp_weighted_sql
+
+    sqls["g_sssp_weighted4"] = sssp_weighted_sql(
+        "SELECT l_orderkey % 4999 AS src, l_partkey % 4999 AS dst, "
+        "(l_suppkey % 7) + 1 AS w FROM lineitem",
+        _BFS_SEEDS,
+        4,
     )
     from ps_projekt_pagerank_spark.operators.betweenness import (
         betweenness_sampled_sql,

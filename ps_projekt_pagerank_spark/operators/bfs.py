@@ -254,3 +254,76 @@ def effective_diameter_sql(
         "AS coverage "
         "FROM fin JOIN cum ON cum.h = fin.h_eff"
     )
+
+
+def sssp_weighted(
+    edges: DataFrame, seeds: list[int], rounds: int
+) -> DataFrame:
+    """(id LONG, dist LONG) — multi-source shortest WEIGHTED distances
+    after exactly ``rounds`` min-plus relaxations (Bellman-Ford steps):
+    dist'(v) = min(dist(v), min over in-edges (dist(u) + w)). With
+    rounds >= the longest shortest path's hop count this is exact SSSP;
+    fewer rounds give the best distance within that many hops — the same
+    fixed-sweep contract as ``pagerank_fixed`` (and what makes the op
+    unrollable as ANSI SQL). Weights must be non-negative integers —
+    distances stay exact BIGINTs, bit-identical cross-engine.
+
+    Scale: per round one |frontier|-to-adjacency equi-join (src-
+    partitioned cached edges) + a min hash agg over the sparse state
+    (only reached nodes carry rows); one action per round (the lineage-
+    cutting checkpoint).
+    """
+    if not seeds:
+        raise ValueError("sssp_weighted needs >= 1 seed node")
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            "src", "dst", F.col("w").cast("long").alias("w")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = spark.createDataFrame(
+        [(int(s), 0) for s in sorted(set(seeds))], "id LONG, dist LONG"
+    )
+    for _ in range(rounds):
+        cand = (
+            e.join(state, e["src"] == state["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        state = (
+            state.unionAll(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist(blocking=False)
+    return state
+
+
+def sssp_weighted_sql(
+    edges_sql: str, seeds: list[int], rounds: int
+) -> str:
+    """DuckDB twin — the identical min-plus unroll (MATERIALIZED: each
+    round references the previous state twice)."""
+    seed_rows = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT src, dst, CAST(w AS BIGINT) AS w "
+        f"FROM ({edges_sql}) WHERE src <> dst)",
+        "s0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist "
+        f"FROM (VALUES {seed_rows}) AS t(id))",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM s{k - 1} "
+            f"UNION ALL SELECT e.dst AS id, s.dist + e.w AS dist "
+            f"FROM e JOIN s{k - 1} s ON e.src = s.id) GROUP BY id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, dist FROM s{rounds}"

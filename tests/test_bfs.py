@@ -139,3 +139,31 @@ def test_effective_diameter_duckdb_twin(spark):
     )
     oracle = duckdb.connect().execute(sql).fetchone()
     assert got == oracle
+
+
+def test_sssp_weighted_matches_python_and_duckdb(spark):
+    from ps_projekt_pagerank_spark.operators.bfs import (
+        sssp_weighted,
+        sssp_weighted_sql,
+    )
+
+    # 0 -> 1 (w 5) vs 0 -> 2 -> 1 (w 1+1): the 2-hop path is shorter
+    wedges = [(0, 1, 5), (0, 2, 1), (2, 1, 1), (1, 3, 2), (8, 9, 7)]
+    df = spark.createDataFrame(wedges, "src LONG, dst LONG, w LONG")
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp_weighted(df, [0], rounds=4).collect()
+    }
+    assert got == {0: 0, 1: 2, 2: 1, 3: 4}
+    # at rounds=1 only direct edges relax: 1 still costs 5
+    got1 = {
+        r["id"]: r["dist"]
+        for r in sssp_weighted(df, [0], rounds=1).collect()
+    }
+    assert got1[1] == 5 and got1[2] == 1
+    values = ", ".join(f"({s}, {d}, {w})" for s, d, w in wedges)
+    sql = sssp_weighted_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst, w)", [0], 4
+    )
+    oracle = {r[0]: r[1] for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == oracle
