@@ -335,3 +335,96 @@ def knn_ivf(
         scored.withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= k)
     )
+
+
+def build_ivf_index(
+    vecs: DataFrame,
+    name: str,
+    num_centroids: int | None = None,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Train and PERSIST an IVF index: ``name + "_centroids"`` (cent_id,
+    cvec) and ``name + "_cells"`` — the corpus partitioned BY CELL on
+    disk. The vector-side analog of the bucketed graph store: the
+    k-means train + assignment shuffle is paid once per corpus, and
+    every later query batch scans ONLY its probed cells' files
+    (partition pruning — at 10^9 vectors and nprobe/K = 1/8, seven
+    eighths of the bytes are never read). Returns the trained K.
+    """
+    spark = vecs.sparkSession
+    if num_centroids is None:
+        num_centroids = derive_num_centroids(vecs.count())
+    cents = ivf_centroids(vecs, num_centroids, kmeans_iters, id_col, vec_col)
+    cents.write.mode("overwrite").format("parquet").saveAsTable(
+        name + "_centroids"
+    )
+    cells = _nearest_cells(
+        vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+        spark.read.table(name + "_centroids"),
+        1,
+        "vid",
+        "v",
+    ).select("vid", "cell")
+    (
+        vecs.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+        )
+        .join(cells, "vid")
+        .write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("cell")
+        .saveAsTable(name + "_cells")
+    )
+    return int(num_centroids)
+
+
+def knn_ivf_stored(
+    spark,
+    name: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Query a ``build_ivf_index`` index: same output contract as
+    ``knn_ivf`` (query_id, neighbor_id, score, knn_rank), but the
+    centroids and cell assignments come from the stored tables — no
+    re-clustering — and the candidate scan is restricted to the probed
+    cells with an IN-list the planner turns into PARTITION PRUNING
+    (the probed cell ids are collected to the driver first: |queries| x
+    nprobe distinct ids, the standard serving pattern).
+    """
+    cents = spark.read.table(name + "_centroids")
+    if nprobe is None:
+        nprobe = derive_nprobe(cents.count())
+    probe = _nearest_cells(
+        queries.select("query_id", "qvec"), cents, nprobe,
+        "query_id", "qvec",
+    ).select("query_id", "cell")
+    probed = sorted(
+        r["cell"] for r in probe.select("cell").distinct().collect()
+    )
+    cand = (
+        spark.read.table(name + "_cells")
+        .where(F.col("cell").isin(probed))
+        .select(F.col("vid").alias("neighbor_id"),
+                F.col("v").alias("cvec2"), "cell")
+    )
+    q = F.broadcast(queries.select("query_id", "qvec").join(probe, "query_id"))
+    scored = q.join(
+        cand,
+        (q["cell"] == cand["cell"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("qvec", "cvec2"), 6).alias("score"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
