@@ -192,3 +192,63 @@ def incremental_components(
     return connected_components(
         edges, init_labels=prev_labels, **cc_kwargs
     )
+
+
+def apply_doc_delta(
+    spark: SparkSession, name: str, docs: DataFrame
+) -> DataFrame:
+    """The corpus-side MERGE of the crawl loop: check a batch of docs
+    against the persistent fingerprint registry ``name`` (content-md5 →
+    first-seen doc_id), append the genuinely-new fingerprints, and return
+    the batch annotated (doc_id, fp, is_duplicate, first_seen_doc_id).
+    Re-crawled and mirrored pages are flagged WITHOUT rescanning the
+    corpus — the registry holds one row per distinct content ever seen,
+    which is how exact dedup stays O(batch) per increment at crawl scale
+    (on Iceberg the same frame feeds MERGE INTO ... WHEN NOT MATCHED).
+
+    Within-batch duplicates: the smallest doc_id wins registration, the
+    rest are flagged against it (same printf-key argmin as the batch
+    dedup operators). Scale: one batch fingerprint projection, one
+    |batch|-row join against the registry (fp-keyed), one append of the
+    new rows.
+    """
+    from ps_projekt_pagerank_spark.functions.text import fingerprint
+
+    fp = docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    if not _table_exists(spark, name):
+        spark.createDataFrame(
+            [], "fp STRING, first_seen_doc_id LONG"
+        ).write.format("parquet").saveAsTable(name)
+    reg = spark.read.table(name)
+    joined = fp.join(
+        reg.select("fp", "first_seen_doc_id"), "fp", "left"
+    ).localCheckpoint(eager=True)
+    # within-batch winner per new fingerprint
+    new_fp = (
+        joined.where(F.col("first_seen_doc_id").isNull())
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_seen_doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    new_fp.write.mode("append").format("parquet").saveAsTable(name)
+    out = (
+        joined.select("doc_id", "fp", F.col("first_seen_doc_id").alias("_r"))
+        .join(new_fp.select("fp", F.col("first_seen_doc_id").alias("_n")),
+              "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.coalesce("_r", "_n").alias("first_seen_doc_id"),
+        )
+        .select(
+            "doc_id",
+            "fp",
+            "first_seen_doc_id",
+            (F.col("doc_id") != F.col("first_seen_doc_id")).alias(
+                "is_duplicate"
+            ),
+        )
+    )
+    return out

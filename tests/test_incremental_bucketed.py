@@ -156,3 +156,33 @@ def test_incremental_components_on_maintained_store(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cc_store")
         spark.sql("DROP TABLE IF EXISTS t_cc_store_nodes")
+
+
+def test_incremental_doc_dedup_registry(spark):
+    """apply_doc_delta: cross-batch and within-batch duplicates flagged,
+    registry grows by distinct content only."""
+    from ps_projekt_pagerank_spark.streaming.crawl import apply_doc_delta
+
+    try:
+        b1 = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "gamma"), (2, "alpha beta")],
+            "doc_id LONG, text STRING",
+        )
+        r1 = {
+            r["doc_id"]: (r["is_duplicate"], r["first_seen_doc_id"])
+            for r in apply_doc_delta(spark, "t_fp_reg", b1).collect()
+        }
+        assert r1 == {0: (False, 0), 1: (False, 1), 2: (True, 0)}
+        # batch 2: re-crawl of doc 0's content + genuinely new content
+        b2 = spark.createDataFrame(
+            [(10, "alpha beta"), (11, "delta")],
+            "doc_id LONG, text STRING",
+        )
+        r2 = {
+            r["doc_id"]: (r["is_duplicate"], r["first_seen_doc_id"])
+            for r in apply_doc_delta(spark, "t_fp_reg", b2).collect()
+        }
+        assert r2 == {10: (True, 0), 11: (False, 11)}
+        assert spark.read.table("t_fp_reg").count() == 3  # distinct contents
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fp_reg")
