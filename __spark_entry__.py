@@ -886,6 +886,18 @@ def _q_host_rank4(spark, sf_dir):
     )
 
 
+def _q_host_budget(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.hostgraph import (
+        host_crawl_budget,
+        host_pagerank,
+    )
+
+    hr = host_pagerank(D.url_edges(spark, sf_dir), num_iterations=4).select(
+        "host", F.round("rank", 9).alias("rank")
+    )
+    return host_crawl_budget(hr, total_budget=100000)
+
+
 def _q_scc_components(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.scc import (
         strongly_connected_components,
@@ -1026,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_normalize": _q_url_normalize,
         "g_kcore16": _q_kcore16,
         "host_rank4": _q_host_rank4,
+        "host_crawl_budget": _q_host_budget,
         "g_scc_components": _q_scc_components,
         "g_bowtie_parts": _q_bowtie,
         "lp_adamic_adar": _q_adamic_adar,
@@ -2224,6 +2237,13 @@ def oracle_sql() -> dict[str, str]:
     sqls["g_kcore16"] = _kcore_sql(_SPARSE, k=16, rounds=5)
     sqls["host_rank4"] = (
         f"SELECT id AS host, rank FROM ({_pagerank_fixed_sql(4, _HOST_MULTISET)})"
+    )
+    from ps_projekt_pagerank_spark.operators.hostgraph import (
+        host_crawl_budget_sql,
+    )
+
+    sqls["host_crawl_budget"] = host_crawl_budget_sql(
+        sqls["host_rank4"], 100000
     )
     sqls["s4_anchor_summary"] = (
         "WITH a AS (SELECT 'u' || (doc_id * 7 % 500)::VARCHAR AS dst_url, "

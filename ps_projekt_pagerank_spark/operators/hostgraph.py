@@ -152,3 +152,74 @@ def crawl_schedule(
             F.floor((F.col("rank_in_host") - 1) / k) + 1
         ).cast("int").alias("fetch_round"),
     )
+
+
+def host_crawl_budget(
+    host_ranks: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(host, rank, base_budget, extra, budget) — allocate an integer
+    fetch budget across hosts proportional to rank by the largest-
+    remainder (Hamilton) method: base = floor(rank·B), the leftover
+    B - Σbase goes +1 each to the hosts with the largest fractional
+    remainders (ties by host ascending). Exactly Σbudget = B, every
+    step deterministic: rank must be pre-rounded (host_pagerank emits
+    9dp), so rank·B, its floor, and the remainder ordering are the same
+    doubles in any engine.
+
+    Scale note on the ONE partitionless window: the allocator ranks
+    HOSTS (|hosts| ~ |pages|/10^3 — ~10^7 rows at a 10^10-page crawl),
+    and budget allocation is inherently a global decision; if the host
+    table ever outgrows a single sort, shard the allocation by TLD and
+    allocate per shard.
+    """
+    from pyspark.sql import Window
+
+    b = int(total_budget)
+    base = host_ranks.select(
+        F.col(host_col).alias("host"),
+        F.col(rank_col).alias("rank"),
+        F.floor(F.col(rank_col) * b).cast("long").alias("base_budget"),
+        (F.col(rank_col) * b - F.floor(F.col(rank_col) * b)).alias("_rem"),
+    )
+    leftover = base.agg(
+        (F.lit(b) - F.sum("base_budget")).alias("_left")
+    )
+    w = Window.orderBy(F.col("_rem").desc(), F.col("host").asc())
+    ranked = base.select(
+        "*", F.row_number().over(w).alias("_rn")
+    ).crossJoin(F.broadcast(leftover))
+    return ranked.select(
+        "host",
+        "rank",
+        "base_budget",
+        (F.col("_rn") <= F.col("_left")).cast("long").alias("extra"),
+        (
+            F.col("base_budget")
+            + (F.col("_rn") <= F.col("_left")).cast("long")
+        ).alias("budget"),
+    )
+
+
+def host_crawl_budget_sql(
+    host_ranks_sql: str, total_budget: int
+) -> str:
+    """DuckDB twin — identical floor/remainder doubles and ordering."""
+    b = int(total_budget)
+    return (
+        f"WITH hr AS ({host_ranks_sql}), "
+        f"base AS (SELECT host, rank, "
+        f"CAST(floor(rank * {b}) AS BIGINT) AS base_budget, "
+        f"rank * {b} - floor(rank * {b}) AS _rem FROM hr), "
+        f"lv AS (SELECT {b} - CAST(sum(base_budget) AS BIGINT) AS _left "
+        "FROM base), "
+        "rk AS (SELECT *, row_number() OVER (ORDER BY _rem DESC, host ASC) "
+        "AS _rn FROM base) "
+        "SELECT host, rank, base_budget, "
+        "CAST(CASE WHEN _rn <= _left THEN 1 ELSE 0 END AS BIGINT) AS extra, "
+        "base_budget + CAST(CASE WHEN _rn <= _left THEN 1 ELSE 0 END "
+        "AS BIGINT) AS budget "
+        "FROM rk CROSS JOIN lv"
+    )

@@ -133,3 +133,33 @@ def test_crawl_schedule(spark):
     assert got["http://a.test/2"] == ("a.test", 2, 1)  # tie -> url asc
     assert got["http://a.test/3"] == ("a.test", 3, 2)  # politeness spill
     assert got["http://b.test/1"] == ("b.test", 1, 1)
+
+
+def test_host_crawl_budget(spark):
+    import duckdb as _duck
+
+    from ps_projekt_pagerank_spark.operators.hostgraph import (
+        host_crawl_budget,
+        host_crawl_budget_sql,
+    )
+
+    ranks = [("a", 0.5), ("b", 0.3), ("c", 0.125), ("d", 0.075)]
+    df = spark.createDataFrame(ranks, "host STRING, rank DOUBLE")
+    got = {
+        r["host"]: (r["base_budget"], r["extra"], r["budget"])
+        for r in host_crawl_budget(df, 10).collect()
+    }
+    # base: 5, 3, 1, 0 (sum 9); leftover 1 -> largest remainder d (0.75)
+    assert got == {
+        "a": (5, 0, 5), "b": (3, 0, 3), "c": (1, 0, 1), "d": (0, 1, 1),
+    }
+    assert sum(b for _, _, b in got.values()) == 10
+    values = ", ".join(f"('{h}', {r})" for h, r in ranks)
+    sql = host_crawl_budget_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(host, rank)", 10
+    )
+    oracle = {
+        r[0]: (r[2], r[3], r[4])
+        for r in _duck.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
