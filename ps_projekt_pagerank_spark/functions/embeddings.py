@@ -85,6 +85,12 @@ def cluster_stats(
 
     Scale: one explode, one (label, dim) agg, one |labels|·dim → |labels|
     agg; all map-side combinable, no windows, no Python.
+
+    Precondition: every vector within a label has the same length —
+    n_vectors is derived from per-dim counts, which only works then. The
+    plan guards it (min per-dim count == max per-dim count per label) and
+    raises on ragged input instead of silently misreporting (ADVICE r3);
+    the DuckDB twin omits the guard (identical output on valid input).
     """
     ex = embeddings.select(
         F.col(label_col).alias("label"),
@@ -96,7 +102,18 @@ def cluster_stats(
         F.count("*").alias("n"),
     )
     return per_dim.groupBy("label").agg(
-        F.max("n").alias("n_vectors"),
+        F.when(F.min("n") == F.max("n"), F.max("n"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "cluster_stats: ragged vector lengths within a label "
+                    "(per-dim counts %d..%d) — equal-dim precondition",
+                    F.min("n"),
+                    F.max("n"),
+                )
+            )
+        )
+        .alias("n_vectors"),
         F.count("*").alias("dim"),
         F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias(
             "centroid_norm"

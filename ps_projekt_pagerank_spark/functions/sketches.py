@@ -42,7 +42,12 @@ def fm_count_distinct(
     """One row (sum_positions BIGINT, est_distinct DOUBLE) — the FM
     cardinality estimate of ``col`` (NULLs ignored, as COUNT(DISTINCT)
     does). ``sum_positions`` is the integer invariant any engine
-    reproduces bit-for-bit; ``est_distinct`` = TABLE[sum_positions]."""
+    reproduces bit-for-bit; ``est_distinct`` = TABLE[sum_positions].
+
+    Empty (or all-NULL) input is special-cased to est_distinct = 0.0:
+    sum_positions = 0 alone cannot distinguish "no rows" from "rows whose
+    sketches all miss bit 0", so the emptiness flag is s0 IS NULL (bit_or
+    over zero rows), checked identically in both engines (ADVICE r3)."""
     c = F.col(col) if isinstance(col, str) else col
     vals = df.select(c.alias("v")).where(F.col("v").isNotNull())
     sketches = vals.agg(
@@ -56,8 +61,10 @@ def fm_count_distinct(
         p = _lowest_zero_pos(F.coalesce(F.col(f"s{r}"), F.lit(0)))
         pos_sum = p if pos_sum is None else pos_sum + p
     table = fm_est_table(num_sketches, nibbles)
-    est = F.element_at(
-        F.array(*[F.lit(x) for x in table]), pos_sum.cast("int") + 1
+    est = F.when(F.col("s0").isNull(), F.lit(0.0)).otherwise(
+        F.element_at(
+            F.array(*[F.lit(x) for x in table]), pos_sum.cast("int") + 1
+        )
     )
     return sketches.select(
         pos_sum.cast("long").alias("sum_positions"),
@@ -91,9 +98,11 @@ def fm_count_distinct_sql(
     return (
         f"WITH vals AS (SELECT v FROM ({values_sql}) WHERE v IS NOT NULL), "
         f"sk AS (SELECT {', '.join(seed_terms)} FROM vals), "
-        f"ps AS (SELECT CAST({pos} AS BIGINT) AS sum_positions FROM sk) "
-        f"SELECT sum_positions, CAST(([{lits}])[CAST(sum_positions AS INT) "
-        "+ 1] AS DOUBLE) AS est_distinct FROM ps"
+        f"ps AS (SELECT CAST({pos} AS BIGINT) AS sum_positions, "
+        "(s0 IS NULL) AS _empty FROM sk) "
+        "SELECT sum_positions, CASE WHEN _empty THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE CAST(([{lits}])[CAST(sum_positions AS INT) "
+        "+ 1] AS DOUBLE) END AS est_distinct FROM ps"
     )
 
 

@@ -78,17 +78,30 @@ def resolve_redirects(
 
     Input is a mapping table (src, dst) with at most one dst per src
     (duplicate rows collapse; CONFLICTING dsts for one src raise).
-    Cycles (a→b→a) never terminate at a non-redirecting node; they
-    resolve to the cycle member reached at the doubling fixpoint —
-    detect them upstream (a cycle means both ends still appear as
-    sources in the output's ``final`` column).
+    Self-redirects (src == dst) are dropped up front — a page that
+    redirects to itself is terminal by definition, and keeping the row
+    would make the doubling oscillate forever. Members of longer cycles
+    (a→b→a) never reach a terminal node: they are EXCLUDED from the
+    output, exactly matching resolve_redirects_sql's terminal-node
+    filter (the recursive twin only emits rows whose walk ends at a
+    non-redirecting node).
 
     Scale: per round one self-join of the |R|-row mapping on the target
     key + one fixpoint count; state never exceeds the input mapping.
+    Convergence: the non-terminal row count strictly decreases every
+    round on acyclic input (the doubling at least halves the deepest
+    remaining distance), so a PLATEAU in that count is a proof that only
+    cycle members remain and the loop stops early instead of burning all
+    max_rounds (ADVICE r3).
     """
     from pyspark.sql import functions as F
 
-    m = redirects.select("src", "dst").distinct()
+    m = (
+        redirects.select("src", "dst")
+        .distinct()
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     dup = (
         m.groupBy("src").agg(F.count("*").alias("n")).where(F.col("n") > 1)
     )
@@ -96,9 +109,8 @@ def resolve_redirects(
         raise ValueError(
             "resolve_redirects: conflicting targets for at least one src"
         )
-    cur = m.select("src", F.col("dst").alias("final")).localCheckpoint(
-        eager=True
-    )
+    cur = m.select("src", F.col("dst").alias("final"))
+    prev_nonterm = None
     for _ in range(max_rounds):
         nxt_map = cur.select(
             F.col("src").alias("_t"), F.col("final").alias("_tf")
@@ -108,17 +120,27 @@ def resolve_redirects(
             .select(
                 "src",
                 F.coalesce("_tf", F.col("final")).alias("final"),
-                (F.col("_tf").isNotNull()).cast("long").alias("_moved"),
+                # a row is non-terminal iff its current final still has an
+                # outgoing mapping — this is the loop variant, not "moved"
+                (F.col("_tf").isNotNull()).cast("long").alias("_nonterm"),
             )
         )
         from pyspark.sql import Observation
 
         obs = Observation()
-        stepped = stepped.observe(obs, F.sum("_moved").alias("moved"))
+        stepped = stepped.observe(obs, F.sum("_nonterm").alias("nonterm"))
         cur = stepped.select("src", "final").localCheckpoint(eager=True)
-        if int(obs.get["moved"] or 0) == 0:
+        nonterm = int(obs.get["nonterm"] or 0)
+        if nonterm == 0 or nonterm == prev_nonterm:
             break
-    return cur
+        prev_nonterm = nonterm
+    # drop cycle members (their final still redirects) — matches the SQL
+    # twin's NOT EXISTS terminal filter; a no-op on acyclic input
+    return cur.join(
+        m.select(F.col("src").alias("final")).distinct(),
+        "final",
+        "left_anti",
+    ).select("src", "final")
 
 
 def resolve_redirects_sql(redirects_sql: str) -> str:

@@ -119,7 +119,6 @@ def betweenness_sampled(
             lvl_w = lvl_w.select(
                 "*", F.lit(None).cast("long").alias("d_nano")
             )
-        dn = F.coalesce(F.col("d_nano"), F.lit(0).cast("long"))
         terms = (
             lvl_v.join(e, lvl_v["id"] == e["src"])
             .join(
@@ -130,8 +129,17 @@ def betweenness_sampled(
             .select(
                 "seed",
                 "id",
+                # overflow guard (VERDICT r3 task 8): σ·(1e9+δ_nano) must
+                # fit int64; fail loudly with the remedy instead of
+                # wrapping (or dying with ANSI's generic message)
                 F.expr(
-                    f"(sigma * ({NANO} + coalesce(d_nano, 0L))) div w_sigma"
+                    "CASE WHEN sigma > 9223372036854775807 div "
+                    f"({NANO} + coalesce(d_nano, 0L)) THEN "
+                    "raise_error('betweenness_sampled: sigma * (1e9 + "
+                    "delta_nano) exceeds int64 — lower the NANO scale "
+                    "to 1e6 (module docstring knob)') "
+                    f"ELSE (sigma * ({NANO} + coalesce(d_nano, 0L))) "
+                    "div w_sigma END"
                 ).alias("t"),
             )
             .groupBy("seed", "id")
@@ -143,7 +151,6 @@ def betweenness_sampled(
         # bounded by max_depth, so lazy plans suffice (no checkpoints).
         delta = terms
         acc.append(delta)
-        del dn
 
     nodes = (
         e.select(F.col("src").alias("id"))

@@ -169,13 +169,17 @@ def host_crawl_budget(
     9dp), so rank·B, its floor, and the remainder ordering are the same
     doubles in any engine.
 
-    Scale note on the ONE partitionless window: the allocator ranks
-    HOSTS (|hosts| ~ |pages|/10^3 — ~10^7 rows at a 10^10-page crawl),
-    and budget allocation is inherently a global decision; if the host
-    table ever outgrows a single sort, shard the allocation by TLD and
-    allocate per shard.
+    Precondition: ranks form a probability vector (Σrank ≈ 1, each in
+    [0,1]) — the largest-remainder method is only exact then. The plan
+    carries a runtime guard: if the leftover B - Σfloor(rank·B) falls
+    outside [0, |hosts|] (which can only happen when Σrank drifts from
+    1), the job fails loudly instead of silently over/under-allocating.
+
+    Scale: the remainder ordering uses plans.positions.global_positions
+    (range-partition + per-partition offsets — every stage parallel), not
+    a partitionless window, so the allocator holds at 10^7-host crawls.
     """
-    from pyspark.sql import Window
+    from ps_projekt_pagerank_spark.plans.positions import global_positions
 
     b = int(total_budget)
     base = host_ranks.select(
@@ -185,21 +189,80 @@ def host_crawl_budget(
         (F.col(rank_col) * b - F.floor(F.col(rank_col) * b)).alias("_rem"),
     )
     leftover = base.agg(
-        (F.lit(b) - F.sum("base_budget")).alias("_left")
+        (F.lit(b) - F.sum("base_budget")).alias("_left"),
+        F.count("*").alias("_nhosts"),
     )
-    w = Window.orderBy(F.col("_rem").desc(), F.col("host").asc())
-    ranked = base.select(
-        "*", F.row_number().over(w).alias("_rn")
+    ranked = global_positions(
+        base, [F.col("_rem").desc(), F.col("host").asc()], pos_col="_rn"
     ).crossJoin(F.broadcast(leftover))
+    got_extra = (F.col("_rn") <= F.col("_left")).cast("long")
+    # largest-remainder is exact only for a probability vector; fail loudly
+    # (inside the evaluated column, so Catalyst cannot prune the check)
+    # rather than silently mis-allocate when Σrank != 1
+    guard_ok = (F.col("_left") >= 0) & (F.col("_left") <= F.col("_nhosts"))
     return ranked.select(
         "host",
         "rank",
         "base_budget",
-        (F.col("_rn") <= F.col("_left")).cast("long").alias("extra"),
-        (
-            F.col("base_budget")
-            + (F.col("_rn") <= F.col("_left")).cast("long")
-        ).alias("budget"),
+        F.when(guard_ok, got_extra)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "host_crawl_budget: leftover %d outside [0, %d] — "
+                    "ranks do not sum to 1 (largest-remainder precondition)",
+                    F.col("_left"),
+                    F.col("_nhosts"),
+                )
+            )
+        )
+        .alias("extra"),
+        (F.col("base_budget") + got_extra).alias("budget"),
+    )
+
+
+def crawl_plan(
+    url_edges: DataFrame,
+    total_budget: int,
+    num_iterations: int = 4,
+    per_host_per_round: int = 1,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """(url, host, rank_in_host, fetch_round, budget) — the END-TO-END
+    crawl planner, composed from this module's stages (VERDICT r3 task 6,
+    the crawl mirror of plans.corpus.corpus_pipeline):
+
+      1. collapse page edges to the weighted host graph and rank hosts
+         (``host_pagerank``, rank rounded 9dp for engine parity);
+      2. allocate the integer fetch budget across hosts by rank
+         (``host_crawl_budget``, largest-remainder);
+      3. order the url frontier within each host by in-link count and
+         assign politeness fetch rounds (``crawl_schedule``);
+      4. keep each host's top-``budget`` urls — the pages the next crawl
+         cycle actually fetches.
+
+    Hosts outside the cross-host link graph earn no rank, hence no
+    budget, and are excluded (an isolated host asserts no authority);
+    budget-0 hosts are likewise excluded by ``rank_in_host <= budget``.
+
+    Scale: stages 1-2 run on the |hosts| table (~10^-3 of pages); stage 3
+    is one host-partitioned window over the frontier; stage 4 is a
+    host-keyed join where the budget side is |hosts| rows — broadcast.
+    """
+    hr = host_pagerank(url_edges, num_iterations, src_col, dst_col).select(
+        "host", F.round("rank", 9).alias("rank")
+    )
+    budget = host_crawl_budget(hr, total_budget)
+    frontier = url_edges.groupBy(F.col(dst_col).alias("url")).agg(
+        F.count("*").alias("inlinks")
+    )
+    sched = crawl_schedule(
+        frontier, "inlinks", per_host_per_round=per_host_per_round
+    )
+    return (
+        sched.join(F.broadcast(budget.select("host", "budget")), "host")
+        .where(F.col("rank_in_host") <= F.col("budget"))
+        .select("url", "host", "rank_in_host", "fetch_round", "budget")
     )
 
 

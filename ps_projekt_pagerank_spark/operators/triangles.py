@@ -156,7 +156,11 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
 def _edge_support(e: DataFrame) -> DataFrame:
     """(a, b, support) — triangles through each canonical edge of the
     PERSISTED canonical edge set ``e`` (degree-ordered enumeration, one
-    row per triangle, each credited to its three edges)."""
+    row per triangle, each credited to its three edges).
+
+    This is the FULL recount — kept as the correctness oracle the delta
+    peeling in ``k_truss`` is tested against (tests assert the maintained
+    support equals this recount after every peel round)."""
     o = _oriented(e)
     w1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
     w2 = o.select(F.col("u").alias("x2"), F.col("v").alias("z"))
@@ -189,52 +193,151 @@ def _edge_support(e: DataFrame) -> DataFrame:
     return sides.groupBy("a", "b").agg(F.count("*").alias("support"))
 
 
-def k_truss(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+def _tri_edge(x, y):
+    """canonical edge key (a, b) of a triangle side."""
+    return F.least(x, y), F.greatest(x, y)
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    stats: list | None = None,
+) -> DataFrame:
     """(a LONG, b LONG) — the canonical edges of the k-truss: the maximal
     subgraph where every edge closes >= k-2 triangles WITHIN the subgraph
     (Cohen 2008) — the cohesive-community filter that survives the noisy
     halo a raw triangle count keeps. k=2 returns all edges.
 
-    Peeling loop: recount per-edge support on the surviving subgraph,
-    drop edges under k-2, repeat to fixpoint. Support only shrinks as
-    edges leave, so the loop terminates in <= |E| rounds (far fewer in
-    practice — each round kills entire weak fringes). One Spark action
-    per round (the surviving-edge count doubles as the fixpoint test);
-    per round the work is the degree-ordered triangle enumeration of the
-    CURRENT subgraph — O(sum of oriented-wedge fanout), the same bound
-    as triangles_total, shrinking every round.
+    DELTA peeling (VERDICT r3 task 3): the full degree-ordered wedge
+    enumeration runs ONCE to materialize the triangle list T; every peel
+    round then touches only the triangles that contain an edge removed
+    that round — dead = T ⋉ removed (three equi semi-joins), support
+    decrements = dead's surviving sides, T -= dead (three anti-joins).
+    Per-round work is O(|triangles killed|), not O(full wedge fanout):
+    on a 100× graph with many peel rounds the old recount multiplied the
+    most expensive join in the repo by the round count; this multiplies
+    it by 1. State = T (shrinks monotonically) + one support row per
+    surviving edge; both are localCheckpointed per round (lineage cut).
+    The support sequence is identical to a full recount — T is exactly
+    the triangle set of the current subgraph at every round — so the
+    fixpoint (and the DuckDB twin) is unchanged.
+
+    ``stats``: pass a list to receive per-round dicts
+    (round, removed_edges, dead_triangles, live_triangles) — the
+    work-shrinks evidence; costs one extra count per round, skipped when
+    None.
     """
     if k < 2:
         raise ValueError("k_truss needs k >= 2")
     import warnings
 
     e = canonical_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    prev = e.count()
-    converged = False
-    for _ in range(max_rounds):
-        sup = _edge_support(e)
-        kept = (
-            e.join(sup, ["a", "b"], "left")
-            .where(F.coalesce("support", F.lit(0)) >= k - 2)
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+    # ONE full enumeration: triangle list (x, y, z), one row per triangle
+    closed, o = _closed_triangles_of(e)
+    tri = closed.localCheckpoint(eager=True)
+    o.unpersist()
+    ea, eb = _tri_edge(F.col("x"), F.col("y"))
+    fa, fb = _tri_edge(F.col("x"), F.col("z"))
+    # y < z by construction, so (y, z) is already canonical
+    sides0 = (
+        tri.select(ea.alias("a"), eb.alias("b"))
+        .unionAll(tri.select(fa.alias("a"), fb.alias("b")))
+        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+    )
+    sup0 = sides0.groupBy("a", "b").agg(F.count("*").alias("support"))
+    # state: one row per CURRENT edge, its support within the current
+    # subgraph (0-support edges included — they peel first when k > 2)
+    state = (
+        e.join(sup0, ["a", "b"], "left")
+        .select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
         )
-        n = kept.count()
-        e.unpersist()
-        e = kept.persist(StorageLevel.MEMORY_AND_DISK)
-        if n == prev:
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    converged = False
+    for rnd in range(max_rounds):
+        removed = state.where(F.col("support") < k - 2).select("a", "b")
+        n_removed = removed.count()
+        if n_removed == 0:
             converged = True
             break
-        prev = n
+        # triangles killed this round: any of the 3 sides was removed.
+        # AQE picks broadcast for the typically-small removed set (round 1
+        # can be large — the 0-support fringe — so no forced broadcast)
+        conds = [
+            [ea, eb],
+            [fa, fb],
+            [F.col("y"), F.col("z")],
+        ]
+        dead = None
+        live = tri
+        for ca, cb in conds:
+            r = removed.select(F.col("a").alias("_ra"), F.col("b").alias("_rb"))
+            hit = (ca == F.col("_ra")) & (cb == F.col("_rb"))
+            d = tri.join(r, hit, "left_semi")
+            dead = d if dead is None else dead.unionAll(d)
+            live = live.join(r, hit, "left_anti")
+        # a triangle with 2+ removed sides appears in several branches —
+        # it must decrement each surviving side exactly once
+        dead = dead.distinct()
+        dec_sides = (
+            dead.select(ea.alias("a"), eb.alias("b"))
+            .unionAll(dead.select(fa.alias("a"), fb.alias("b")))
+            .unionAll(
+                dead.select(F.col("y").alias("a"), F.col("z").alias("b"))
+            )
+        )
+        dec = dec_sides.groupBy("a", "b").agg(F.count("*").alias("_dec"))
+        survivors = state.where(F.col("support") >= k - 2)
+        new_state = (
+            survivors.join(dec, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("support") - F.coalesce("_dec", F.lit(0))
+                ).alias("support"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_tri = live.localCheckpoint(eager=True)
+        if stats is not None:
+            stats.append(
+                {
+                    "round": rnd,
+                    "removed_edges": n_removed,
+                    "dead_triangles": dead.count(),
+                    "live_triangles": new_tri.count(),
+                }
+            )
+        state, tri = new_state, new_tri
     if not converged:
         warnings.warn(
             f"k_truss: no fixpoint within {max_rounds} rounds — result "
             "may keep under-supported edges; raise max_rounds",
             stacklevel=2,
         )
-    out = e.localCheckpoint(eager=True)
-    e.unpersist()
-    return out
+    return state.select("a", "b")
+
+
+def _closed_triangles_of(e: DataFrame):
+    """(closed, o) for an ALREADY-persisted canonical edge set ``e`` —
+    the _closed_triangles shape without re-deriving/persisting e."""
+    o = _oriented(e).persist(StorageLevel.MEMORY_AND_DISK)
+    w1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = o.select(F.col("u").alias("x2"), F.col("v").alias("z"))
+    wedges = w1.join(
+        w2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z"))
+    ).select("x", "y", "z")
+    closed = wedges.join(
+        e,
+        (F.least("y", "z") == F.col("a"))
+        & (F.greatest("y", "z") == F.col("b")),
+        "left_semi",
+    )
+    return closed, o
 
 
 def k_truss_sql(edges_sql: str, k: int, rounds: int) -> str:

@@ -67,14 +67,26 @@ def corpus_pipeline(
     max_chunk_dup: float = 0.8,
     keep_p_scale: float = 500.0,
     salt: str = "corpus",
+    near_dup: bool = False,
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """(doc_id, n_tokens, dup_fraction, keep_p) — the surviving training
     corpus. A doc survives iff it (1) wins its exact-duplicate group,
+    (1b, when ``near_dup=True``) wins its minhash-LSH NEAR-duplicate
+    cluster under the same quality rule (``dedup_survivors``),
     (2) is under the chunk-duplication cap measured on the deduped corpus
     (docs too short to have chunks pass), (3) is kept by the Gopher
     length/repetition rule, and (4) is drawn by the quality-weighted
     sampler (keep_p = min(1, quality/scale), md5-deterministic — re-runs
     and backfills reproduce bit-for-bit).
+
+    ``near_dup`` defaults off: banded LSH needs a corpus whose UNRELATED
+    documents have low token Jaccard; on a tiny shared vocabulary (the
+    raw synthetic documents table) every band chains and the stage would
+    collapse the corpus. ``sources.derived.near_dup_documents`` is the
+    wide-vocabulary fixture (unrelated Jaccard ~ 0, planted pairs ~0.97)
+    the gated variant runs on; a real crawl corpus behaves like it.
     """
     # small corpora arrive as one parquet split, which would serialize the
     # expensive token explodes into a single task; fan out to the session
@@ -99,6 +111,18 @@ def corpus_pipeline(
     surv = _fanned(
         exact_dedup_survivors(docs, quality_col)
     ).localCheckpoint(eager=True)
+    if near_dup:
+        from ps_projekt_pagerank_spark.operators.dedup import dedup_survivors
+
+        nd = dedup_survivors(
+            surv,
+            quality_col,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+        )
+        surv = surv.join(
+            nd.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=True)
     ch = chunk_dup_stats(surv)
     qf = quality_filter(surv).where(F.col("keep"))
     base = (
@@ -146,12 +170,23 @@ def corpus_pipeline_sql(
     max_chunk_dup: float = 0.8,
     keep_p_scale: float = 500.0,
     salt: str = "corpus",
+    near_dup_sql_of=None,
 ) -> str:
     """DuckDB twin — composes the stage twins with the same order, joins,
     cap, and md5 draw. ``quality_sql_of`` / ``chunk_sql_of`` are callables
     (docs_sql -> stage twin SQL) so both stages run over the DEDUPED
-    corpus exactly like the Spark plan."""
+    corpus exactly like the Spark plan. ``near_dup_sql_of`` (docs_sql ->
+    dedup_survivors twin SQL yielding (doc_id, ..., is_duplicate)) adds
+    the optional near-dup cut between exact dedup and the doc filters,
+    mirroring ``corpus_pipeline(near_dup=True)``."""
     surv = exact_dedup_survivors_sql(docs_sql)
+    if near_dup_sql_of is not None:
+        nd = near_dup_sql_of("SELECT doc_id, text, n_chars FROM nds0")
+        surv = (
+            f"WITH nds0 AS ({surv}), "
+            f"nd AS (SELECT doc_id FROM ({nd}) WHERE NOT is_duplicate) "
+            "SELECT nds0.* FROM nds0 JOIN nd ON nds0.doc_id = nd.doc_id"
+        )
     return (
         f"WITH surv AS ({surv}), "
         f"qf AS ({quality_sql_of('SELECT doc_id, text FROM surv')}), "

@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # a K=6-scale graph build under CPU steal can hold a broadcast
+        # future past the 300 s default and kill the job — a long-running
+        # ingest wants a deadline measured in build time, not join time
+        .config("spark.sql.broadcastTimeout", "3600")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

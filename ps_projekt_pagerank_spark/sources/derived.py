@@ -18,8 +18,36 @@ oracle in __spark_entry__.
 
 from __future__ import annotations
 
+import functools
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Opt-in derived-input cache (VERDICT r3 task 5): the 98-query gate calls
+# these derivations once per query; with SPARK_GRAFT_CACHE_DERIVED=1 each
+# (session, sf_dir, table) is derived once and persisted, cutting the full
+# gate wall several-fold. Off by default — benchmarks must measure the
+# cold derivation, and long-lived sessions should not pin tables they used
+# once. tools/check_entry.py turns it on.
+_CACHE: dict = {}
+
+
+def _cacheable(fn):
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if not os.environ.get("SPARK_GRAFT_CACHE_DERIVED"):
+            return fn(spark, sf_dir)
+        key = (id(spark), sf_dir, fn.__name__)
+        df = _CACHE.get(key)
+        if df is None:
+            df = fn(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+            _CACHE[key] = df
+        return df
+
+    return wrapper
+
 
 WEB_SRC_MOD = 997
 WEB_DST_MOD = 1400
@@ -54,6 +82,7 @@ def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
 
+@_cacheable
 def web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem(spark, sf_dir)
     return li.select(
@@ -62,6 +91,7 @@ def web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_cacheable
 def block_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem(spark, sf_dir)
     blk = F.col("l_linenumber") % 3
@@ -71,6 +101,7 @@ def block_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_cacheable
 def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem(spark, sf_dir)
     return li.select(
@@ -82,6 +113,7 @@ def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKEW_SRC_MOD = 99991
 
 
+@_cacheable
 def skew_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem(spark, sf_dir)
     return li.select(
@@ -93,14 +125,17 @@ def skew_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_cacheable
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+@_cacheable
 def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+@_cacheable
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -115,6 +150,7 @@ URL_EDGES_SQL = (
 )
 
 
+@_cacheable
 def url_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src_url, dst_url) — absolute-URL page edges (host = key % 97, path
     = key % 4999): the host-graph-collapse fixture. Same modular derivation
@@ -155,6 +191,7 @@ FUNNEL_EDGES_SQL = (
 )
 
 
+@_cacheable
 def funnel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst) — the bow-tie fixture: dense core SCC + IN/OUT fringes,
     tendrils off IN, and a disconnected block (FUNNEL_EDGES_SQL twin)."""
@@ -190,6 +227,7 @@ MESSY_URLS_SQL = (
 )
 
 
+@_cacheable
 def messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(url) — distinct URL spellings with casing/default-port/fragment/
     relative variants: the url-canonicalization fixture."""
@@ -214,3 +252,69 @@ def messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("u"), pk, F.lit("#x")))
     )
     return li.select(url.alias("url")).distinct()
+
+
+NEAR_DUP_TOKENS = 64
+NEAR_DUP_PLANT_MOD = 10
+NEAR_DUP_ID_OFFSET = 10_000_000
+
+NEAR_DUP_DOCS_SQL = (
+    # wide-vocabulary corpus + planted near-dups (VERDICT r3 task 7): each
+    # base doc is 64 md5-derived 6-char tokens (essentially unique across
+    # docs, so unrelated Jaccard ~ 0 and banded LSH discriminates — the
+    # raw documents fixture's tiny vocabulary chains everything); every
+    # 10th doc gets a planted copy (id + 10000000) identical except the
+    # last token (same byte length, so the quality tie-break keeps the ORIGINAL as survivor), Jaccard 63/65 ~ 0.97
+    "SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS n_chars "
+    "FROM (SELECT doc_id, array_to_string(list_transform(range(0, 64), "
+    "j -> substr(md5(doc_id::VARCHAR || '#' || j::VARCHAR), 1, 6)), ' ') "
+    "AS text FROM documents WHERE doc_id < 200 "
+    "UNION ALL "
+    "SELECT d.doc_id + 10000000 AS doc_id, array_to_string(list_transform("
+    "range(0, 63), j -> substr(md5(d.doc_id::VARCHAR || '#' || "
+    "j::VARCHAR), 1, 6)), ' ') || ' ndupzz' AS text FROM documents d "
+    "WHERE d.doc_id < 200 AND d.doc_id % 10 = 0)"
+)
+
+
+@_cacheable
+def near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, n_chars) — NEAR_DUP_DOCS_SQL's Spark twin: the
+    minhash-discriminating corpus with planted near-duplicates."""
+    base = documents(spark, sf_dir).where(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def mk_text(n_toks: int):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_toks - 1)),
+                lambda j: F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("#"),
+                            j.cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+            ),
+        )
+
+    originals = base.select("doc_id", mk_text(NEAR_DUP_TOKENS).alias("text"))
+    plants = (
+        base.where(F.col("doc_id") % NEAR_DUP_PLANT_MOD == 0)
+        .select(
+            (F.col("doc_id") + NEAR_DUP_ID_OFFSET).alias("new_id"),
+            F.concat(
+                mk_text(NEAR_DUP_TOKENS - 1), F.lit(" ndupzz")
+            ).alias("text"),
+        )
+        .select(F.col("new_id").alias("doc_id"), "text")
+    )
+    return originals.unionAll(plants).select(
+        "doc_id", "text", F.octet_length("text").cast("int").alias("n_chars")
+    )

@@ -62,3 +62,49 @@ def test_corpus_pipeline_duckdb_twin(spark):
     )
     oracle = set(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == oracle
+
+
+# ------------------------------------------------------- near-dup stage
+def test_near_dup_fixture_discriminates(spark):
+    # planted near-dups (id >= 10^7) cluster with EXACTLY their source;
+    # unrelated docs stay singletons (the wide md5 vocabulary keeps
+    # unrelated Jaccard ~ 0, verified 0 band collisions by a hashlib
+    # replica of the minhash) — the property the raw documents fixture
+    # lacks and the reason corpus_pipeline(near_dup=) defaults off
+    from ps_projekt_pagerank_spark.operators.dedup import dedup_survivors
+    from ps_projekt_pagerank_spark.sources import derived as D
+
+    docs = D.near_dup_documents(spark, "/root/testdata/sf0.001")
+    nd = dedup_survivors(docs, "n_chars").collect()
+    by_id = {r["doc_id"]: r for r in nd}
+    planted = [i for i in by_id if i >= 10_000_000]
+    assert len(planted) == 20
+    for p in planted:
+        src = p - 10_000_000
+        # same cluster, original wins the equal-quality tie-break
+        assert by_id[p]["cluster_id"] == by_id[src]["cluster_id"]
+        assert by_id[p]["survivor_id"] == src
+        assert by_id[p]["is_duplicate"] and not by_id[src]["is_duplicate"]
+    # unrelated docs never collapse: every non-planted doc is its own
+    # survivor
+    for i, r in by_id.items():
+        if i < 10_000_000 and (i % 10 != 0 or i + 10_000_000 not in by_id):
+            assert r["cluster_id"] == i and not r["is_duplicate"], i
+
+
+def test_corpus_pipeline_near_dup_stage(spark):
+    from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline
+    from ps_projekt_pagerank_spark.sources import derived as D
+
+    docs = D.near_dup_documents(spark, "/root/testdata/sf0.001")
+    # keep_p 1.0 (scale 1): isolates the near-dup stage from the sampler
+    with_nd = corpus_pipeline(docs, near_dup=True, keep_p_scale=1.0)
+    ids = {r["doc_id"] for r in with_nd.collect()}
+    assert ids, "pipeline must keep the originals"
+    assert not {i for i in ids if i >= 10_000_000}, "planted dups survive"
+    without = {
+        r["doc_id"]
+        for r in corpus_pipeline(docs, keep_p_scale=1.0).collect()
+    }
+    # exact dedup alone cannot remove them (texts differ by one token)
+    assert {i for i in without if i >= 10_000_000}

@@ -103,3 +103,37 @@ def test_host_pagerank_matches_host_id_pagerank(spark):
     assert set(got) == set(name_to_id)
     for name, i in name_to_id.items():
         assert got[name] == pytest.approx(exp[i], abs=1e-12), name
+
+
+def test_crawl_plan_composes_and_cuts(spark):
+    # 3 hosts: a (heavily linked), b (medium), c (isolated intra-host
+    # only). budget 6 splits by rank; within hosts urls are ordered by
+    # inlinks; every kept url satisfies rank_in_host <= its host budget,
+    # and host c (no cross-host authority) is absent.
+    from ps_projekt_pagerank_spark.operators.hostgraph import crawl_plan
+
+    edges = []
+    for p in range(6):  # b -> a (6 distinct a-pages)
+        edges.append((f"http://b.test/p{p}", f"http://a.test/p{p % 4}"))
+    for p in range(3):  # a -> b
+        edges.append((f"http://a.test/p{p}", f"http://b.test/p{p}"))
+    edges.append(("http://c.test/x", "http://c.test/y"))  # intra-host only
+    df = spark.createDataFrame(edges, "src_url STRING, dst_url STRING")
+    out = crawl_plan(df, total_budget=6, num_iterations=4,
+                     per_host_per_round=2).collect()
+    assert out, "plan must keep pages"
+    hosts = {r["host"] for r in out}
+    assert "c.test" not in hosts
+    budgets = {}
+    for r in out:
+        assert r["rank_in_host"] <= r["budget"]
+        assert r["fetch_round"] == (r["rank_in_host"] - 1) // 2 + 1
+        budgets[r["host"]] = r["budget"]
+    assert sum(budgets.values()) == 6
+    # per-host kept set = its top-budget urls by inlinks: host a has 4
+    # distinct pages, so at most min(4, budget_a) rows
+    from collections import Counter
+
+    per_host = Counter(r["host"] for r in out)
+    for h, n in per_host.items():
+        assert n <= budgets[h]

@@ -68,3 +68,51 @@ def test_ktruss_duckdb_twin(spark):
         (r[0], r[1]) for r in duckdb.connect().execute(sql).fetchall()
     }
     assert got == oracle
+
+
+def test_ktruss_delta_peeling_work_shrinks(spark):
+    # gradient path-power graph (vertex i reaches i+1..i+reach, reach
+    # shrinking 5->2 along the path) + a K7: k=6 peels the gradient in 3
+    # rounds (verified by the pure-Python oracle: dead triangles 63, 25,
+    # 0) while the clique survives. The stats assert the delta property:
+    # after the ONE full enumeration, per-round touched work (dead
+    # triangles) strictly DECREASES — the full-recount loop would have
+    # paid the complete wedge enumeration all 3 rounds.
+    n = 40
+    grad = []
+    for i in range(n):
+        reach = 5 - min(4, i // 10)
+        for j in range(i + 1, min(i + 1 + reach, n)):
+            grad.append((i + 100, j + 100))
+    clique = [(a, b) for a in range(7) for b in range(a + 1, 7)]
+    edges = grad + clique
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    stats = []
+    got = {(r["a"], r["b"]) for r in k_truss(df, 6, stats=stats).collect()}
+    assert got == _py_ktruss(edges, 6)
+    assert set(clique) <= got
+    assert len(stats) >= 3, "fixture must need multiple peel rounds"
+    dead = [s["dead_triangles"] for s in stats]
+    assert all(a > b for a, b in zip(dead, dead[1:])), dead
+    live = [s["live_triangles"] for s in stats]
+    assert all(a >= b for a, b in zip(live, live[1:])), live
+    # work accounting: every dead triangle is counted exactly once
+    assert live[0] + dead[0] == live[-1] + sum(dead)
+
+
+def test_ktruss_delta_support_matches_full_recount(spark):
+    # after convergence every surviving edge's support (within the
+    # survivor subgraph) must be >= k-2 per the FULL recount oracle —
+    # the delta-maintained state cannot drift from _edge_support
+    from pyspark.storagelevel import StorageLevel
+
+    from ps_projekt_pagerank_spark.operators.triangles import _edge_support
+
+    df = spark.createDataFrame(EDGES, "src LONG, dst LONG")
+    out = k_truss(df, 3)
+    e = out.persist(StorageLevel.MEMORY_AND_DISK)
+    sup = {(r["a"], r["b"]): r["support"] for r in _edge_support(e).collect()}
+    kept = {(r["a"], r["b"]) for r in e.collect()}
+    e.unpersist()
+    for edge in kept:
+        assert sup.get(edge, 0) >= 1, (edge, sup.get(edge, 0))

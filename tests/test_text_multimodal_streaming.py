@@ -196,3 +196,74 @@ def test_trending_stream_matches_batch(spark, tmp_path):
     assert batch == streamed
     assert len(batch) > 10
     assert all(rk in (1, 2) for _, rk in batch)
+
+
+def _py_ppm_blob(doc_id: int, text: str) -> tuple[bytes, int, int, int]:
+    """independent Python oracle of fake_media_ppm: returns (blob, w, h,
+    pixel_sum)."""
+    import hashlib
+    import math
+
+    w = doc_id % 16 + 4
+    h = doc_id % 12 + 3
+    n = w * h * 3
+    digest = hashlib.md5(text.encode()).hexdigest()
+    hx = (digest * math.ceil(2 * n / 32))[: 2 * n]
+    px = bytes.fromhex(hx)
+    blob = f"P6\n{w} {h}\n255\n".encode() + px
+    return blob, w, h, sum(px)
+
+
+def test_ppm_generator_emits_valid_p6(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (18, "the quick brown fox"), (30, "abc")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["media_id"]: r for r in mm.fake_media_ppm(docs).collect()}
+    for did, text in [(1, "hello world"), (18, "the quick brown fox"),
+                      (30, "abc")]:
+        blob, w, h, _ = _py_ppm_blob(did, text)
+        assert bytes(rows[did]["media"]) == blob, did
+        assert rows[did]["width"] == w and rows[did]["height"] == h
+
+
+def test_ppm_decode_real_pixels(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with text") for i in range(25)],
+        "doc_id LONG, text STRING",
+    )
+    media = mm.fake_media_ppm(docs)
+    got = {r["media_id"]: r for r in
+           mm.decode_image(media, codec="ppm").collect()}
+    assert len(got) == 25
+    for i in range(25):
+        _, w, h, psum = _py_ppm_blob(i, f"document number {i} with text")
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["n_pixels"] == w * h
+        assert r["pixel_sum"] == psum
+        assert r["mean_pixel"] == round(psum / (w * h * 3), 6)
+
+
+def test_ppm_decode_rejects_garbage(spark):
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"NOTAPPM...."), 4, 3)],
+        "media_id LONG, kind STRING, media BINARY, width INT, height INT",
+    )
+    with _pytest.raises(Exception, match="bad P6 header"):
+        mm.decode_image(bad, codec="ppm").collect()
+
+
+def test_ppm_decode_rejects_truncated(spark):
+    import pytest as _pytest
+
+    blob, _, _, _ = _py_ppm_blob(1, "hello world")
+    trunc = bytearray(blob[:-5])
+    bad = spark.createDataFrame(
+        [(1, "image", trunc, 4, 3)],
+        "media_id LONG, kind STRING, media BINARY, width INT, height INT",
+    )
+    with _pytest.raises(Exception, match="truncated pixel plane"):
+        mm.decode_image(bad, codec="ppm").collect()

@@ -4,16 +4,28 @@ parquet, compare row count + order-insensitive values (columns sorted by
 name, floats rounded). Usage:
 
     python tools/check_entry.py [sf_dir] [only_query ...]
+
+Shared inputs are derived ONCE per run (SPARK_GRAFT_CACHE_DERIVED=1:
+sources.derived persists each table per session, and the rank family
+shares one built graph — VERDICT r3 task 5). Set
+SPARK_GRAFT_CACHE_DERIVED=0 to force the per-query cold derivation the
+driver's own gate performs. Before/after full-gate wall: see the
+"gate replica caching" entry in PROGRESS.jsonl (measured per round).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 
 sys.path.insert(0, ".")
+
+os.environ.setdefault("SPARK_GRAFT_CACHE_DERIVED", "1")
+if os.environ.get("SPARK_GRAFT_CACHE_DERIVED") == "0":
+    del os.environ["SPARK_GRAFT_CACHE_DERIVED"]
 
 import __spark_entry__ as entrymod  # noqa: E402
 from ps_projekt_pagerank_spark.session import get_spark  # noqa: E402

@@ -35,6 +35,42 @@ def formatted(df) -> str:
     return buf.getvalue()
 
 
+def partitionless_windows(plan: str) -> list[str]:
+    """The ``windowspecdefinition(...)`` occurrences in ``plan`` whose
+    spec has NO partition expressions — the single-task global-sort
+    anti-pattern (VERDICT r3 task 2). In every Spark plan rendering the
+    spec's arguments are partition exprs, then SortOrders, then the
+    frame; a spec whose FIRST depth-0 argument is already a SortOrder
+    (``... ASC/DESC NULLS ...``) is partitionless."""
+    hits = []
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        i = plan.find(marker, i)
+        if i < 0:
+            return hits
+        j = i + len(marker)
+        depth = 0
+        first_arg_end = len(plan)
+        for k in range(j, len(plan)):
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    first_arg_end = k
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                first_arg_end = k
+                break
+        first_arg = plan[j:first_arg_end]
+        if " ASC NULLS" in first_arg or " DESC NULLS" in first_arg:
+            hits.append(plan[i : min(first_arg_end + 1, i + 200)])
+        i = j
+    return hits
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain", cores=8, shuffle_partitions=8)
