@@ -447,8 +447,12 @@ def main_pagerank_only(cores: int):
 def _leg_gate(cores: int) -> float:
     """Minimum effective cores for a leg at local[cores] to count as a
     clean-window measurement (VERDICT r3 task 1: local[8] >= 7, local[2]
-    >= 1.9; other levels default to 87.5% of requested)."""
-    return {2: 1.9, 8: 7.0}.get(cores, 0.875 * cores)
+    >= 1.9; other levels default to SPARK_GRAFT_LEG_GATE_FRAC of
+    requested, default 87.5%). The gate is symmetric on purpose: a
+    starved 4N leg DEFLATES the efficiency ratio, but a starved N leg
+    INFLATES it — an honest scaling number needs both legs delivered."""
+    frac = float(os.environ.get("SPARK_GRAFT_LEG_GATE_FRAC", "0.875"))
+    return {2: 1.9, 8: 7.0}.get(cores, frac * cores)
 
 
 def _wait_clean_window(cores_pair, max_polls: int, sleep_s: float) -> bool:
