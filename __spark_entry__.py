@@ -1026,6 +1026,72 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+
+def _q_rich_club(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.richclub import rich_club
+
+    return rich_club(D.web_edges(spark, sf_dir))
+
+
+def _q_eigenvector4(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.eigenvector import (
+        eigenvector_fixed,
+    )
+
+    return eigenvector_fixed(
+        D.web_edges(spark, sf_dir), num_iterations=4,
+        graph=_web_graph(spark, sf_dir),
+    )
+
+
+def _q_mis(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    return maximal_independent_set(D.web_edges(spark, sf_dir))
+
+
+def _q_condensation_depth(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.scc import condensation_depth
+
+    return condensation_depth(D.funnel_edges(spark, sf_dir))
+
+
+def _contamination_corpus(spark, sf_dir):
+    """corpus = near-dup fixture docs that are NOT the benchmark;
+    benchmark = the planted originals (doc_id % 10 == 0 below the plant
+    offset) — the plants at id+10M then read as ~fully contaminated."""
+    docs = D.near_dup_documents(spark, sf_dir).select("doc_id", "text")
+    is_bench = (F.col("doc_id") % D.NEAR_DUP_PLANT_MOD == 0) & (
+        F.col("doc_id") < D.NEAR_DUP_ID_OFFSET
+    )
+    return docs.where(~is_bench), docs.where(is_bench)
+
+
+def _q_contamination(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.contamination import (
+        ngram_contamination,
+    )
+
+    corpus, bench = _contamination_corpus(spark, sf_dir)
+    return ngram_contamination(corpus, bench, n=8, threshold=0.5)
+
+
+def _q_mixture_weights(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(
+        D.documents(spark, sf_dir), group_col="lang", budget=10_000
+    )
+
+
+def _q_pii_scan(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.pii import pii_scan
+
+    return pii_scan(D.dirty_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1129,6 +1195,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repeated_ngrams": _q_repeated_ngrams,
         "text_quality_filter": _q_quality_filter,
         "tr_spam_mass": _q_spam_mass,
+        "g_rich_club": _q_rich_club,
+        "la_eigenvector4": _q_eigenvector4,
+        "g_mis": _q_mis,
+        "g_condensation_depth": _q_condensation_depth,
+        "text_contamination": _q_contamination,
+        "smp_mixture_weights": _q_mixture_weights,
+        "pii_scan_docs": _q_pii_scan,
     }
 
 
@@ -1137,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _WEB = D.WEB_EDGES_SQL
+_MIS_ROUNDS = 5  # measured fixpoint, re-checked by tests/test_mis.py
 _BLOCK = D.BLOCK_EDGES_SQL
 _SPARSE = D.SPARSE_EDGES_SQL
 
@@ -1715,23 +1789,11 @@ def _label_prop_sql(rounds: int) -> str:
 
 
 def _scc_ctes(edges_sql: str) -> str:
-    """Shared CTE prefix for the SCC / bow-tie twins: directed reachability
-    closure (recursive UNION keeps it a set), mutual pairs, and the
-    min-id-per-SCC labeling — the closed-form contract the iterative Spark
-    trim+forward/backward algorithm must land on."""
-    return (
-        f"WITH RECURSIVE raw AS ({edges_sql}), "
-        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst), "
-        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM raw "
-        "UNION ALL SELECT dst AS id FROM raw)), "
-        "reach(s, d) AS (SELECT src, dst FROM e "
-        "UNION SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d), "
-        "mutual AS (SELECT r1.s AS v, r1.d AS u FROM reach r1 "
-        "JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s), "
-        "scc AS (SELECT n.id, least(n.id, coalesce(min(m.u), n.id)) "
-        "AS component FROM nodes n LEFT JOIN mutual m ON m.v = n.id "
-        "GROUP BY n.id)"
-    )
+    """Shared CTE prefix for the SCC / bow-tie twins — now owned by
+    operators/scc.py (scc_ctes_sql) so condensation_depth_sql shares it."""
+    from ps_projekt_pagerank_spark.operators.scc import scc_ctes_sql
+
+    return scc_ctes_sql(edges_sql)
 
 
 def _scc_sql(edges_sql: str) -> str:
@@ -2472,6 +2534,46 @@ def oracle_sql() -> dict[str, str]:
         "(n_tokens >= 10 AND n_tokens <= 100000 AND dup_ratio_2gr <= 0.6 "
         f"AND dup_ratio_3gr <= 0.4) AS keep FROM ({_ngr})"
     )
+    from ps_projekt_pagerank_spark.operators.richclub import rich_club_sql
+    from ps_projekt_pagerank_spark.operators.eigenvector import (
+        eigenvector_sql,
+    )
+    from ps_projekt_pagerank_spark.operators.mis import mis_sql
+    from ps_projekt_pagerank_spark.operators.scc import (
+        condensation_depth_sql,
+    )
+    from ps_projekt_pagerank_spark.functions.contamination import (
+        contamination_sql,
+    )
+    from ps_projekt_pagerank_spark.operators.sampling import (
+        mixture_weights_sql,
+    )
+    from ps_projekt_pagerank_spark.functions.pii import pii_scan_sql
+
+    sqls["g_rich_club"] = rich_club_sql(_WEB)
+    sqls["la_eigenvector4"] = eigenvector_sql(_WEB, 4)
+    # 6 rounds = the measured MIS fixpoint on the sf0.01 web graph (the
+    # Spark counted loop stops at the same round — same deterministic
+    # greedy; see tests/test_mis.py round-count assertion)
+    sqls["g_mis"] = mis_sql(_WEB, rounds=_MIS_ROUNDS)
+    sqls["g_condensation_depth"] = condensation_depth_sql(
+        D.FUNNEL_EDGES_SQL
+    )
+    _ndd = "SELECT doc_id, text FROM (" + D.NEAR_DUP_DOCS_SQL + ")"
+    _bench_pred = (
+        f"(doc_id % {D.NEAR_DUP_PLANT_MOD} = 0 "
+        f"AND doc_id < {D.NEAR_DUP_ID_OFFSET})"
+    )
+    sqls["text_contamination"] = contamination_sql(
+        f"{_ndd} WHERE NOT {_bench_pred}",
+        f"{_ndd} WHERE {_bench_pred}",
+        n=8,
+        threshold=0.5,
+    )
+    sqls["smp_mixture_weights"] = mixture_weights_sql(
+        "SELECT doc_id, lang FROM documents", group_col="lang", budget=10_000
+    )
+    sqls["pii_scan_docs"] = pii_scan_sql(D.DIRTY_DOCS_SQL)
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
     return sqls

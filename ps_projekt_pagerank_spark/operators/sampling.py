@@ -279,3 +279,61 @@ def top_k_per_group(
     return df.select(
         "*", F.row_number().over(w).alias("rank_in_group")
     ).where(F.col("rank_in_group") <= int(k))
+
+
+def mixture_weights(
+    docs: DataFrame, group_col: str = "lang", budget: int = 100_000
+) -> DataFrame:
+    """(group, n_docs BIGINT, weight DOUBLE, target_docs DOUBLE) —
+    temperature-scaled corpus mixing weights (alpha = 0.5, i.e. the
+    sqrt-rebalancing mT5/XLM-R use to keep head languages from drowning
+    the tail):
+
+        weight(g)      = sqrt(n_g) / Σ_h sqrt(n_h)
+        target_docs(g) = weight(g) · budget
+
+    The exponent is fixed at 1/2 on purpose: sqrt is correctly-rounded
+    IEEE in both Spark and DuckDB, so the weights are engine-exact before
+    the final 9-dp rounding (general pow() makes no such promise).
+
+    Scale shape: ONE hash agg over the corpus (map-side combine) to a
+    |groups|-row table, then a broadcast scalar join. The downstream
+    sampler is weighted_bernoulli_sample with keep_p = target/n.
+    """
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("_z")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.round(
+                F.sqrt(F.col("n_docs").cast("double")) / F.col("_z"), 9
+            ).alias("weight"),
+            F.round(
+                F.lit(float(budget))
+                * F.sqrt(F.col("n_docs").cast("double"))
+                / F.col("_z"),
+                6,
+            ).alias("target_docs"),
+        )
+    )
+
+
+def mixture_weights_sql(
+    docs_expr: str, group_col: str = "lang", budget: int = 100_000
+) -> str:
+    """DuckDB twin of mixture_weights."""
+    return (
+        f"WITH counts AS (SELECT {group_col} AS grp, count(*) AS n_docs "
+        f"FROM ({docs_expr}) GROUP BY {group_col}), "
+        "tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM counts) "
+        f"SELECT grp AS {group_col}, n_docs, "
+        "round(sqrt(CAST(n_docs AS DOUBLE)) / tot.z, 9) AS weight, "
+        f"round({float(budget)} * sqrt(CAST(n_docs AS DOUBLE)) / tot.z, 6) "
+        "AS target_docs FROM counts, tot"
+    )

@@ -265,3 +265,129 @@ def bow_tie(edges: DataFrame) -> DataFrame:
     for df in (e, scc, core, fwd, bwd, weak):
         df.unpersist()
     return out
+
+
+def condensation_depth(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
+    """(component LONG, n_nodes BIGINT, depth INT) — the SCC condensation
+    DAG with each component's longest-path depth from a source component.
+
+    Collapsing SCCs always yields a DAG, so the synchronous relaxation
+
+        depth_0(c)     = 0
+        depth_{r+1}(c) = max(depth_r(c), 1 + max_{b→c} depth_r(b))
+
+    reaches its fixpoint in (longest path length) rounds — on web-shaped
+    graphs that is the bow-tie depth, tiny compared to |V|. depth orders
+    crawl/recompute scheduling: rank updates can sweep components in
+    topological waves instead of global iterations.
+
+    Scale shape: the condensed edge list has one row per inter-component
+    link (≪ |E| after collapse) and is checkpointed once; each round is
+    one hash agg + one |C|-row join, ONE counting action (changed rows)
+    decides the stop.
+    """
+    comp = strongly_connected_components(edges).localCheckpoint(eager=True)
+    e = edges.where(F.col("src") != F.col("dst")).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    cmap_s = comp.select(
+        F.col("id").alias("src"), F.col("component").alias("cs")
+    )
+    cmap_d = comp.select(
+        F.col("id").alias("dst"), F.col("component").alias("cd")
+    )
+    ced = (
+        e.join(cmap_s, "src")
+        .join(cmap_d, "dst")
+        .where(F.col("cs") != F.col("cd"))
+        .select("cs", "cd")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_nodes"))
+    depth = sizes.select(
+        "component", F.lit(0).cast("int").alias("depth")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        relaxed = (
+            ced.join(
+                depth.select(
+                    F.col("component").alias("cs"),
+                    F.col("depth").alias("d_src"),
+                ),
+                "cs",
+            )
+            .groupBy(F.col("cd").alias("component"))
+            .agg((F.max("d_src") + F.lit(1)).alias("d_in"))
+        )
+        nxt = (
+            depth.join(relaxed, "component", "left")
+            .select(
+                "component",
+                F.greatest(
+                    "depth", F.coalesce("d_in", F.lit(0))
+                ).cast("int").alias("depth"),
+                (F.coalesce("d_in", F.lit(0)) > F.col("depth")).alias(
+                    "_chg"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.where("_chg").count()
+        depth.unpersist()
+        depth = nxt.select("component", "depth")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"condensation_depth: no fixpoint in {max_rounds} rounds — "
+            "the condensation is not a DAG (SCC collapse is broken)"
+        )
+    out = sizes.join(depth, "component").select(
+        "component", "n_nodes", "depth"
+    ).localCheckpoint(eager=True)
+    for df in (comp, ced):
+        df.unpersist()
+    return out
+
+
+def scc_ctes_sql(edges_sql: str) -> str:
+    """Shared CTE prefix for the SCC-family twins: directed reachability
+    closure (recursive UNION keeps it a set), mutual pairs, and the
+    min-id-per-SCC labeling — the closed-form contract the iterative Spark
+    trim+forward/backward algorithm must land on."""
+    return (
+        f"WITH RECURSIVE raw AS ({edges_sql}), "
+        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst), "
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM raw "
+        "UNION ALL SELECT dst AS id FROM raw)), "
+        "reach(s, d) AS (SELECT src, dst FROM e "
+        "UNION SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d), "
+        "mutual AS (SELECT r1.s AS v, r1.d AS u FROM reach r1 "
+        "JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s), "
+        "scc AS (SELECT n.id, least(n.id, coalesce(min(m.u), n.id)) "
+        "AS component FROM nodes n LEFT JOIN mutual m ON m.v = n.id "
+        "GROUP BY n.id)"
+    )
+
+
+def condensation_depth_sql(edges_sql: str) -> str:
+    """DuckDB twin of condensation_depth: the shared SCC closure CTEs
+    plus a recursive longest-path walk over the condensed DAG (the
+    recursion terminates because the condensation is acyclic)."""
+    return (
+        f"{scc_ctes_sql(edges_sql)}, "
+        "ced AS (SELECT DISTINCT s1.component AS cs, s2.component AS cd "
+        "FROM e JOIN scc s1 ON s1.id = e.src "
+        "JOIN scc s2 ON s2.id = e.dst "
+        "WHERE s1.component <> s2.component), "
+        "sizes AS (SELECT component, count(*) AS n_nodes FROM scc "
+        "GROUP BY component), "
+        "paths(c, d) AS (SELECT component, 0 FROM sizes "
+        "UNION SELECT ced.cd, p.d + 1 FROM paths p "
+        "JOIN ced ON ced.cs = p.c) "
+        "SELECT s.component, s.n_nodes, "
+        "CAST(max(p.d) AS INT) AS depth FROM sizes s "
+        "JOIN paths p ON p.c = s.component GROUP BY s.component, s.n_nodes"
+    )

@@ -318,3 +318,49 @@ def near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return originals.unionAll(plants).select(
         "doc_id", "text", F.octet_length("text").cast("int").alias("n_chars")
     )
+
+
+DIRTY_DOCS_SQL = (
+    # deterministic PII injection: every 3rd doc gets an email, every 5th
+    # a phone, every 7th a dotted-quad — same concat in both engines, so
+    # the pii_scan twin compares counts AND md5(redacted) byte-identically
+    "SELECT doc_id, text "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR "
+    "|| '@example.com now' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' call 555-' "
+    "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' "
+    "|| (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR "
+    "ELSE '' END AS text "
+    "FROM documents"
+)
+
+
+@_cacheable
+def dirty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) — DIRTY_DOCS_SQL's Spark twin: the documents table
+    with deterministic synthetic PII appended (the pii_scan fixture)."""
+    did = F.col("doc_id").cast("string")
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return documents(spark, sf_dir).select(
+        "doc_id", F.concat("text", email, phone, ip).alias("text")
+    )

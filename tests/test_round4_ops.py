@@ -1,0 +1,231 @@
+"""Round-4 session-2 operators: rich-club, eigenvector centrality, MIS,
+condensation depth, contamination, mixture weights, PII scan — hand
+fixtures with closed-form expectations plus the gate-contract checks."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ps_projekt_pagerank_spark.functions.contamination import (
+    ngram_contamination,
+)
+from ps_projekt_pagerank_spark.functions.pii import pii_scan, redact
+from ps_projekt_pagerank_spark.operators.eigenvector import eigenvector_fixed
+from ps_projekt_pagerank_spark.operators.mis import maximal_independent_set
+from ps_projekt_pagerank_spark.operators.richclub import rich_club
+from ps_projekt_pagerank_spark.operators.sampling import mixture_weights
+from ps_projekt_pagerank_spark.operators.scc import condensation_depth
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+# --- rich club -------------------------------------------------------------
+
+
+def test_rich_club_closed_form(spark):
+    # K4 on {0,1,2,3} (degree 3 each) + pendant 4-0 (deg(4)=1, deg(0)=4)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = _edges(spark, k4 + [(4, 0)])
+    rows = {
+        r["k"]: r for r in rich_club(edges, ks=[1, 3]).collect()
+    }
+    # k=1: nodes with deg>1 = {0,1,2,3}; edges among them = 6 → phi=1.0
+    assert rows[1]["n_nodes"] == 4 and rows[1]["n_edges"] == 6
+    assert rows[1]["phi"] == 1.0
+    # k=3: only node 0 (deg 4) → n<2 → phi 0.0
+    assert rows[3]["n_nodes"] == 1 and rows[3]["phi"] == 0.0
+
+
+def test_rich_club_ignores_duplicates_and_loops(spark):
+    edges = _edges(spark, [(0, 1), (1, 0), (0, 1), (2, 2), (1, 2)])
+    rows = {r["k"]: r for r in rich_club(edges, ks=[0]).collect()}
+    # simple undirected graph: 0-1, 1-2 → 3 nodes deg>0, 2 edges
+    assert rows[0]["n_nodes"] == 3 and rows[0]["n_edges"] == 2
+
+
+# --- eigenvector centrality --------------------------------------------------
+
+
+def test_eigenvector_star(spark):
+    # all spokes point at the hub: after one sweep the hub holds all mass
+    edges = _edges(spark, [(i, 99) for i in range(1, 6)])
+    scores = {
+        r["id"]: r["score"]
+        for r in eigenvector_fixed(edges, num_iterations=1).collect()
+    }
+    assert scores[99] == 1.0
+    assert all(scores[i] == 0.0 for i in range(1, 6))
+    # a DAG operator is nilpotent: once paths run out the vector is zero
+    # (and stays zero — the guarded normalization must not divide by 0)
+    late = {
+        r["id"]: r["score"]
+        for r in eigenvector_fixed(edges, num_iterations=3).collect()
+    }
+    assert all(v == 0.0 for v in late.values())
+
+
+def test_eigenvector_matches_numpy(spark):
+    import numpy as np
+
+    pairs = [(i * 7 % 11, i * 3 % 11) for i in range(40)]
+    pairs = [(a, b) for a, b in pairs]
+    edges = _edges(spark, pairs)
+    got = {
+        r["id"]: r["score"]
+        for r in eigenvector_fixed(edges, num_iterations=5).collect()
+    }
+    nodes = sorted({n for e in pairs for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    a = np.zeros((len(nodes), len(nodes)))
+    for s, d in pairs:
+        a[idx[d], idx[s]] += 1.0  # weighted multigraph collapse
+    x = np.ones(len(nodes))
+    for _ in range(5):
+        x = a @ x
+        x = x / x.max()
+    for n in nodes:
+        assert math.isclose(got[n], x[idx[n]], abs_tol=1e-8)
+
+
+# --- maximal independent set -------------------------------------------------
+
+
+def test_mis_independent_and_maximal(spark):
+    pairs = [(i * 13 % 37, i * 5 % 37) for i in range(120)]
+    edges = _edges(spark, pairs)
+    mis = {r["id"] for r in maximal_independent_set(edges).collect()}
+    und = {(a, b) for a, b in pairs if a != b}
+    und |= {(b, a) for a, b in und}
+    nodes = {n for e in pairs for n in e}
+    # independence: no MIS edge internal
+    assert not any((a, b) in und for a in mis for b in mis)
+    # maximality: every non-member has a MIS neighbor
+    for v in nodes - mis:
+        assert any((v, m) in und for m in mis), v
+    # determinism
+    again = {r["id"] for r in maximal_independent_set(edges).collect()}
+    assert mis == again
+
+
+def test_mis_gate_round_contract(spark):
+    """_MIS_ROUNDS in __spark_entry__ must equal the measured fixpoint on
+    the sf0.01 web graph — the unrolled DuckDB twin depends on it."""
+    import __spark_entry__ as entry
+    from ps_projekt_pagerank_spark.sources import derived as D
+
+    edges = D.web_edges(spark, "/root/testdata/sf0.01")
+    with pytest.raises(RuntimeError):
+        maximal_independent_set(edges, max_rounds=entry._MIS_ROUNDS - 1)
+    maximal_independent_set(edges, max_rounds=entry._MIS_ROUNDS).count()
+
+
+# --- condensation depth ------------------------------------------------------
+
+
+def test_condensation_depth_hand_graph(spark):
+    # cycle {0,1,2} → 3 → cycle {4,5} → 6; plus isolated edge 7→8
+    edges = _edges(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 4), (5, 6),
+         (7, 8)],
+    )
+    rows = {
+        r["component"]: r for r in condensation_depth(edges).collect()
+    }
+    assert rows[0]["n_nodes"] == 3 and rows[0]["depth"] == 0
+    assert rows[3]["n_nodes"] == 1 and rows[3]["depth"] == 1
+    assert rows[4]["n_nodes"] == 2 and rows[4]["depth"] == 2
+    assert rows[6]["n_nodes"] == 1 and rows[6]["depth"] == 3
+    assert rows[7]["depth"] == 0 and rows[8]["depth"] == 1
+
+
+# --- contamination -----------------------------------------------------------
+
+
+def test_contamination_plants_flagged(spark):
+    from ps_projekt_pagerank_spark.sources import derived as D
+
+    docs = D.near_dup_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    is_bench = (F.col("doc_id") % D.NEAR_DUP_PLANT_MOD == 0) & (
+        F.col("doc_id") < D.NEAR_DUP_ID_OFFSET
+    )
+    out = ngram_contamination(
+        docs.where(~is_bench), docs.where(is_bench), n=8, threshold=0.5
+    ).collect()
+    plants = [r for r in out if r["doc_id"] >= D.NEAR_DUP_ID_OFFSET]
+    clean = [r for r in out if r["doc_id"] < D.NEAR_DUP_ID_OFFSET]
+    assert plants and all(r["contaminated"] for r in plants)
+    # a plant shares 56 of its 57 8-grams with its benchmark original
+    assert all(r["frac"] > 0.9 for r in plants)
+    # originals' md5-token streams are doc-unique → zero overlap
+    assert clean and all(r["n_contaminated"] == 0 for r in clean)
+
+
+def test_contamination_short_doc_zero_shingles(spark):
+    corpus = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_contamination(corpus, bench, n=8).collect()
+    }
+    assert rows[1]["n_shingles"] == 0 and rows[1]["frac"] == 0.0
+    assert not rows[1]["contaminated"]
+    assert rows[2]["n_shingles"] == 2 and rows[2]["n_contaminated"] == 2
+
+
+# --- mixture weights ---------------------------------------------------------
+
+
+def test_mixture_weights_sqrt_rebalance(spark):
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    rows = {
+        r["lang"]: r
+        for r in mixture_weights(docs, budget=1000).collect()
+    }
+    z = math.sqrt(90) + math.sqrt(10)
+    assert math.isclose(rows["big"]["weight"], math.sqrt(90) / z, abs_tol=1e-9)
+    assert math.isclose(
+        rows["small"]["target_docs"], 1000 * math.sqrt(10) / z, abs_tol=1e-5
+    )
+    # sqrt rebalance lifts the tail above its raw share (10%)
+    assert rows["small"]["weight"] > 0.10
+    assert math.isclose(
+        rows["big"]["weight"] + rows["small"]["weight"], 1.0, abs_tol=1e-8
+    )
+
+
+# --- PII scan ----------------------------------------------------------------
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith@corp-mail.co or 555-0199 today"),
+            (2, "server 10.0.42.7 and 192.168.1.1 are fine"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[2]["n_ipv4"] == 2 and not rows[3]["has_pii"]
+    # scanning the redacted text finds nothing
+    redacted = docs.select("doc_id", redact(F.col("text")).alias("text"))
+    again = pii_scan(redacted).collect()
+    assert all(not r["has_pii"] for r in again)
+    red1 = redacted.where("doc_id = 1").collect()[0]["text"]
+    assert "<EMAIL>" in red1 and "<PHONE>" in red1
+    assert "bob" not in red1 and "0199" not in red1
