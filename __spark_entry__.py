@@ -1092,6 +1092,20 @@ def _q_pii_scan(spark, sf_dir):
     return pii_scan(D.dirty_documents(spark, sf_dir))
 
 
+
+def _q_coloring(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.coloring import graph_coloring
+
+    return graph_coloring(D.ring_edges(spark, sf_dir))
+
+
+
+def _q_zipf_fit(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.zipf import zipf_fit
+
+    return zipf_fit(D.documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1202,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_contamination,
         "smp_mixture_weights": _q_mixture_weights,
         "pii_scan_docs": _q_pii_scan,
+        "g_coloring": _q_coloring,
+        "text_zipf_fit": _q_zipf_fit,
     }
 
 
@@ -1210,7 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _WEB = D.WEB_EDGES_SQL
-_MIS_ROUNDS = 5  # measured fixpoint, re-checked by tests/test_mis.py
+_MIS_ROUNDS = 5  # measured
+_COLOR_ROUNDS = 10  # measured JP fixpoint on the sf0.01 ring fixture fixpoint, re-checked by tests/test_mis.py
 _BLOCK = D.BLOCK_EDGES_SQL
 _SPARSE = D.SPARSE_EDGES_SQL
 
@@ -2574,6 +2591,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lang FROM documents", group_col="lang", budget=10_000
     )
     sqls["pii_scan_docs"] = pii_scan_sql(D.DIRTY_DOCS_SQL)
+    from ps_projekt_pagerank_spark.operators.coloring import coloring_sql
+
+    # 10 rounds = the measured Jones-Plassmann fixpoint on the sf0.01
+    # ring fixture (tests/test_round4_ops.py asserts the contract)
+    sqls["g_coloring"] = coloring_sql(D.RING_EDGES_SQL, rounds=_COLOR_ROUNDS)
+    from ps_projekt_pagerank_spark.functions.zipf import zipf_fit_sql
+
+    sqls["text_zipf_fit"] = zipf_fit_sql("SELECT text FROM documents")
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
     return sqls

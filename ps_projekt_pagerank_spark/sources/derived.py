@@ -364,3 +364,32 @@ def dirty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents(spark, sf_dir).select(
         "doc_id", F.concat("text", email, phone, ip).alias("text")
     )
+
+
+RING_MOD = 3001
+
+RING_EDGES_SQL = (
+    # bounded-degree ring + chord graph (max undirected degree 4): the
+    # graph-coloring fixture — Jones-Plassmann round counts track the
+    # longest priority-monotone path, which stays O(log n) only on
+    # bounded-degree graphs (dense cores degenerate toward |core| rounds)
+    "SELECT DISTINCT l_orderkey % 3001 AS src, "
+    "(l_orderkey % 3001 + 1) % 3001 AS dst FROM lineitem "
+    "UNION "
+    "SELECT DISTINCT l_orderkey % 3001 AS src, "
+    "(l_orderkey % 3001 + 7) % 3001 AS dst FROM lineitem"
+)
+
+
+@_cacheable
+def ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) — RING_EDGES_SQL's Spark twin."""
+    li = _lineitem(spark, sf_dir)
+    i = F.col("l_orderkey") % RING_MOD
+    step = li.select(
+        i.alias("src"), ((i + 1) % RING_MOD).alias("dst")
+    ).distinct()
+    chord = li.select(
+        i.alias("src"), ((i + 7) % RING_MOD).alias("dst")
+    ).distinct()
+    return step.union(chord)

@@ -229,3 +229,94 @@ def test_pii_scan_counts_and_redaction(spark):
     red1 = redacted.where("doc_id = 1").collect()[0]["text"]
     assert "<EMAIL>" in red1 and "<PHONE>" in red1
     assert "bob" not in red1 and "0199" not in red1
+
+
+# --- graph coloring ----------------------------------------------------------
+
+
+def test_coloring_proper_and_deterministic(spark):
+    pairs = [(i * 11 % 29, i * 4 % 29) for i in range(80)]
+    edges = _edges(spark, pairs)
+    from ps_projekt_pagerank_spark.operators.coloring import graph_coloring
+
+    col = {r["id"]: r["color"] for r in graph_coloring(edges).collect()}
+    und = {(a, b) for a, b in pairs if a != b}
+    deg = {}
+    for a, b in und | {(b, a) for a, b in und}:
+        deg[a] = deg.get(a, 0) + 0  # node discovery
+    nodes = {n for e in pairs for n in e}
+    assert set(col) == nodes
+    # proper: no edge is monochromatic
+    assert all(col[a] != col[b] for a, b in und)
+    # greedy bound: at most Delta+1 colors
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    delta = max(len(v) for v in nbrs.values())
+    assert max(col.values()) <= delta
+    again = {r["id"]: r["color"] for r in graph_coloring(edges).collect()}
+    assert col == again
+
+
+def test_coloring_triangle_and_bipartite(spark):
+    from ps_projekt_pagerank_spark.operators.coloring import graph_coloring
+
+    tri = {r["id"]: r["color"] for r in graph_coloring(
+        _edges(spark, [(0, 1), (1, 2), (2, 0)])).collect()}
+    assert sorted(tri.values()) == [0, 1, 2]
+    # even cycle is 2-colorable and the greedy achieves it here
+    cyc = {r["id"]: r["color"] for r in graph_coloring(
+        _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])).collect()}
+    assert all(cyc[a] != cyc[b] for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)])
+
+
+def test_coloring_gate_round_contract(spark):
+    """_COLOR_ROUNDS in __spark_entry__ must equal the measured JP
+    fixpoint on the sf0.01 ring fixture — the unrolled twin depends
+    on it."""
+    import __spark_entry__ as entry
+    from ps_projekt_pagerank_spark.operators.coloring import graph_coloring
+    from ps_projekt_pagerank_spark.sources import derived as D
+
+    log = []
+    graph_coloring(
+        D.ring_edges(spark, "/root/testdata/sf0.01"), round_log=log
+    ).count()
+    assert len(log) == entry._COLOR_ROUNDS
+
+
+# --- zipf fit ----------------------------------------------------------------
+
+
+def test_zipf_fit_closed_form(spark):
+    from ps_projekt_pagerank_spark.functions.zipf import zipf_fit
+
+    # freqs: a x8, b x4, c x2, d x1 → ranks 1..4
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(docs).collect()[0]
+    assert row["n_types"] == 4 and row["n_tokens"] == 15
+    xs = [0, 1, 1, 2]  # floor log2 of ranks 1,2,3,4
+    ys = [3, 2, 1, 0]  # floor log2 of freqs 8,4,2,1
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert math.isclose(row["slope"], slope, abs_tol=1e-9)
+    assert math.isclose(
+        row["intercept"], (sy - slope * sx) / n, abs_tol=1e-9
+    )
+    assert row["slope"] < 0  # heavier tokens at lower ranks
+
+
+def test_zipf_fit_degenerate_uniform(spark):
+    from ps_projekt_pagerank_spark.functions.zipf import zipf_fit
+
+    # 2 types, ranks 1 and 2 -> x in {0,1}, equal freqs -> slope 0
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb")], "doc_id long, text string"
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert row["slope"] == 0.0
