@@ -1106,6 +1106,35 @@ def _q_zipf_fit(spark, sf_dir):
     return zipf_fit(D.documents(spark, sf_dir))
 
 
+
+def _q_training_mix(spark, sf_dir):
+    from ps_projekt_pagerank_spark.plans.trainmix import training_mix
+
+    corpus, bench = _contamination_corpus(spark, sf_dir)
+    lang = (
+        F.when(F.col("doc_id") % 4 == 0, "en")
+        .when(F.col("doc_id") % 4 == 1, "de")
+        .when(F.col("doc_id") % 4 == 2, "fr")
+        .otherwise("sl")
+    )
+    return training_mix(
+        corpus.withColumn("lang", lang), bench, budget=120
+    )
+
+
+
+def _q_latest_capture(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.extraction import latest_capture
+
+    latest = latest_capture(D.crawl_pages(spark, sf_dir))
+    return latest.select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_epoch"),
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1218,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_docs": _q_pii_scan,
         "g_coloring": _q_coloring,
         "text_zipf_fit": _q_zipf_fit,
+        "e2e_training_mix": _q_training_mix,
+        "s4_latest_capture": _q_latest_capture,
     }
 
 
@@ -2599,6 +2630,25 @@ def oracle_sql() -> dict[str, str]:
     from ps_projekt_pagerank_spark.functions.zipf import zipf_fit_sql
 
     sqls["text_zipf_fit"] = zipf_fit_sql("SELECT text FROM documents")
+    from ps_projekt_pagerank_spark.plans.trainmix import training_mix_sql
+
+    _mix_lang = (
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+        "WHEN 2 THEN 'fr' ELSE 'sl' END AS lang"
+    )
+    sqls["e2e_training_mix"] = training_mix_sql(
+        f"SELECT doc_id, text, {_mix_lang} FROM "
+        f"({_ndd} WHERE NOT {_bench_pred})",
+        f"{_ndd} WHERE {_bench_pred}",
+        budget=120,
+    )
+    sqls["s4_latest_capture"] = (
+        f"WITH p AS ({D.CRAWL_PAGES_SQL}), "
+        "w AS (SELECT url, max(warc_ts) AS warc_ts FROM p GROUP BY url) "
+        "SELECT p.url, CAST(floor(epoch(p.warc_ts)) AS BIGINT) "
+        "AS warc_epoch, p.lang, md5(p.text) AS text_md5 "
+        "FROM p JOIN w ON w.url = p.url AND w.warc_ts = p.warc_ts"
+    )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
     return sqls

@@ -393,3 +393,56 @@ def ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         i.alias("src"), ((i + 7) % RING_MOD).alias("dst")
     ).distinct()
     return step.union(chord)
+
+
+CRAWL_EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
+CRAWL_RECRAWL_GAP_S = 720_000  # re-crawl lands ~8.3 days after capture 1
+
+CRAWL_PAGES_SQL = (
+    # the north-rule input shape verbatim — (url, warc_ts, html BINARY,
+    # text, lang) — with a second capture for every 3rd url so the
+    # latest-capture dedup has real work to do
+    "SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, "
+    "make_timestamp((1704067200 + (doc_id % 97) * 3600) * 1000000) "
+    "AS warc_ts, "
+    "CAST('<html><body><p>' || text || '</p></body></html>' AS BLOB) "
+    "AS html, text, lang FROM documents "
+    "UNION ALL "
+    "SELECT 'u' || CAST(doc_id AS VARCHAR), "
+    "make_timestamp((1704067200 + (doc_id % 97) * 3600 + 720000) "
+    "* 1000000), "
+    "CAST('<html><body><p>' || text || ' updated</p></body></html>' "
+    "AS BLOB), text || ' updated', lang FROM documents WHERE doc_id % 3 = 0"
+)
+
+
+@_cacheable
+def crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING,
+    lang STRING) — CRAWL_PAGES_SQL's Spark twin: the Common-Crawl-style
+    pages table in the exact north-rule input shape, with deterministic
+    re-captures (every 3rd url gets a later, changed capture)."""
+    docs = documents(spark, sf_dir)
+    base_epoch = F.lit(CRAWL_EPOCH) + (F.col("doc_id") % 97) * 3600
+
+    def capture(src, text_col, epoch):
+        html = F.concat(
+            F.lit("<html><body><p>"), text_col, F.lit("</p></body></html>")
+        )
+        return src.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias(
+                "url"
+            ),
+            F.timestamp_seconds(epoch).alias("warc_ts"),
+            html.cast("binary").alias("html"),
+            text_col.alias("text"),
+            F.col("lang"),
+        )
+
+    first = capture(docs, F.col("text"), base_epoch)
+    recrawl = capture(
+        docs.where(F.col("doc_id") % 3 == 0),
+        F.concat(F.col("text"), F.lit(" updated")),
+        base_epoch + CRAWL_RECRAWL_GAP_S,
+    )
+    return first.unionAll(recrawl)

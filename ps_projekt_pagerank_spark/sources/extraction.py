@@ -235,3 +235,25 @@ def anchor_search(
     )
     topk = ranked.orderBy("_k").limit(int(k))
     return topk.select("dst_url", "score", "n_terms_hit")
+
+
+def latest_capture(pages):
+    """The newest capture per url — Common Crawl ships multiple WARC
+    captures of the same page across crawls; everything downstream
+    (extraction, dedup, ranking) wants exactly one row per url, the
+    freshest (reference feeds single-capture page dumps,
+    prepletanje.cpp; multi-capture collapse is the north-rule Iceberg
+    reality).
+
+    Shape: (url, max warc_ts) hash agg + an equi-join back on
+    (url, warc_ts) — both shuffles hash on url, so AQE co-locates them;
+    no window, no per-row Python. Capture timestamps per url are unique
+    in a WARC store (one fetch per crawl), which makes the join-back
+    exact; ties would duplicate, so upstream stores must keep (url,
+    warc_ts) unique — the same invariant Iceberg's MERGE key would
+    enforce.
+    """
+    from pyspark.sql import functions as F
+
+    win = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+    return pages.join(win, ["url", "warc_ts"])

@@ -320,3 +320,61 @@ def test_zipf_fit_degenerate_uniform(spark):
     )
     row = zipf_fit(docs).collect()[0]
     assert row["slope"] == 0.0
+
+
+# --- composed training mix -----------------------------------------------------
+
+
+def test_training_mix_composition(spark):
+    from ps_projekt_pagerank_spark.plans.trainmix import training_mix
+    from ps_projekt_pagerank_spark.sources import derived as D
+
+    docs = D.near_dup_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    is_bench = (F.col("doc_id") % D.NEAR_DUP_PLANT_MOD == 0) & (
+        F.col("doc_id") < D.NEAR_DUP_ID_OFFSET
+    )
+    lang = (
+        F.when(F.col("doc_id") % 4 == 0, "en")
+        .when(F.col("doc_id") % 4 == 1, "de")
+        .when(F.col("doc_id") % 4 == 2, "fr")
+        .otherwise("sl")
+    )
+    corpus = docs.where(~is_bench).withColumn("lang", lang)
+    bench = docs.where(is_bench)
+    rows = training_mix(corpus, bench, budget=50).collect()
+    n_corpus = corpus.count()
+    n_plants = corpus.where(
+        F.col("doc_id") >= D.NEAR_DUP_ID_OFFSET
+    ).count()
+    # contaminated plants are screened out before mixing
+    assert sum(r["n_clean"] for r in rows) == n_corpus - n_plants
+    assert all(0 <= r["n_sampled"] <= r["n_clean"] for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+    # determinism: the md5 draw reproduces exactly
+    again = training_mix(corpus, bench, budget=50).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# --- crawl pages / latest capture ---------------------------------------------
+
+
+def test_crawl_pages_shape_and_latest_capture(spark):
+    from ps_projekt_pagerank_spark.sources import derived as D
+    from ps_projekt_pagerank_spark.sources.extraction import latest_capture
+
+    pages = D.crawl_pages(spark, "/root/testdata/sf0.001")
+    # the north-rule input shape, verbatim
+    assert pages.schema.simpleString() == (
+        "struct<url:string,warc_ts:timestamp,html:binary,"
+        "text:string,lang:string>"
+    )
+    n_docs = D.documents(spark, "/root/testdata/sf0.001").count()
+    assert pages.count() > n_docs  # re-captures present
+    latest = latest_capture(pages)
+    assert latest.count() == n_docs  # exactly one capture per url
+    # every url with a re-capture surfaces the updated text
+    updated = latest.where(F.col("text").endswith(" updated"))
+    recrawled = pages.groupBy("url").count().where("count > 1").count()
+    assert updated.count() == recrawled > 0
