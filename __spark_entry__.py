@@ -1135,6 +1135,26 @@ def _q_latest_capture(spark, sf_dir):
     )
 
 
+
+def _q_capture_changes(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.extraction import (
+        capture_change_stats,
+    )
+
+    return capture_change_stats(D.crawl_pages(spark, sf_dir))
+
+
+def _q_length_quantiles(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.quantiles import exact_quantiles
+
+    return exact_quantiles(
+        D.documents(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars",
+        qs=(0.5, 0.9, 0.99),
+        key_col="doc_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1249,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_fit": _q_zipf_fit,
         "e2e_training_mix": _q_training_mix,
         "s4_latest_capture": _q_latest_capture,
+        "s4_capture_changes": _q_capture_changes,
+        "text_length_quantiles": _q_length_quantiles,
     }
 
 
@@ -2648,6 +2670,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT p.url, CAST(floor(epoch(p.warc_ts)) AS BIGINT) "
         "AS warc_epoch, p.lang, md5(p.text) AS text_md5 "
         "FROM p JOIN w ON w.url = p.url AND w.warc_ts = p.warc_ts"
+    )
+    sqls["s4_capture_changes"] = (
+        f"WITH p AS ({D.CRAWL_PAGES_SQL}) "
+        "SELECT url, count(*) AS n_captures, "
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_versions, "
+        "count(DISTINCT md5(text)) > 1 AS changed FROM p GROUP BY url"
+    )
+    from ps_projekt_pagerank_spark.operators.quantiles import (
+        exact_quantiles_sql,
+    )
+
+    sqls["text_length_quantiles"] = exact_quantiles_sql(
+        "SELECT doc_id, n_chars FROM documents",
+        "n_chars",
+        qs=(0.5, 0.9, 0.99),
+        key_col="doc_id",
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

@@ -257,3 +257,27 @@ def latest_capture(pages):
 
     win = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
     return pages.join(win, ["url", "warc_ts"])
+
+
+def capture_change_stats(pages):
+    """(url, n_captures BIGINT, n_versions BIGINT, changed BOOLEAN) —
+    per-url crawl-freshness signal over the multi-capture store: how many
+    WARC captures exist, how many DISTINCT contents among them (by text
+    md5), and whether the page ever changed. Feeds re-crawl scheduling —
+    a changed=true page earns a shorter revisit interval (Cho &
+    Garcia-Molina 2003), composing with host_crawl_budget.
+
+    Shape: ONE hash agg on url (count + count-distinct-md5, map-side
+    combine). No window, no join.
+    """
+    from pyspark.sql import functions as F
+
+    return pages.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+            "n_versions"
+        ),
+        (
+            F.countDistinct(F.md5(F.col("text").cast("binary"))) > 1
+        ).alias("changed"),
+    )

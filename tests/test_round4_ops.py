@@ -378,3 +378,49 @@ def test_crawl_pages_shape_and_latest_capture(spark):
     updated = latest.where(F.col("text").endswith(" updated"))
     recrawled = pages.groupBy("url").count().where("count > 1").count()
     assert updated.count() == recrawled > 0
+
+
+# --- exact quantiles / capture changes ------------------------------------------
+
+
+def test_exact_quantiles_closed_form(spark):
+    from ps_projekt_pagerank_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])],
+        "id long, v long",
+    )
+    rows = {r["q"]: r for r in exact_quantiles(
+        df, "v", qs=(0.1, 0.5, 1.0), key_col="id").collect()}
+    assert rows[0.1]["rank"] == 1 and rows[0.1]["value"] == 10
+    assert rows[0.5]["rank"] == 5 and rows[0.5]["value"] == 50
+    assert rows[1.0]["rank"] == 10 and rows[1.0]["value"] == 100
+
+
+def test_exact_quantiles_validates_q(spark):
+    from ps_projekt_pagerank_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", qs=(0.0,))
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", qs=())
+
+
+def test_capture_change_stats(spark):
+    from ps_projekt_pagerank_spark.sources import derived as D
+    from ps_projekt_pagerank_spark.sources.extraction import (
+        capture_change_stats,
+    )
+
+    stats = capture_change_stats(
+        D.crawl_pages(spark, "/root/testdata/sf0.001")
+    )
+    rows = stats.collect()
+    # every 3rd url was re-crawled with changed text
+    changed = [r for r in rows if r["changed"]]
+    assert changed and all(
+        r["n_captures"] == 2 and r["n_versions"] == 2 for r in changed
+    )
+    stable = [r for r in rows if not r["changed"]]
+    assert stable and all(r["n_captures"] == 1 for r in stable)
