@@ -1155,6 +1155,15 @@ def _q_length_quantiles(spark, sf_dir):
     )
 
 
+
+def _q_attack_robustness(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.robustness import (
+        attack_robustness,
+    )
+
+    return attack_robustness(D.block_edges(spark, sf_dir), ks=(0, 5, 25))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1271,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_latest_capture": _q_latest_capture,
         "s4_capture_changes": _q_capture_changes,
         "text_length_quantiles": _q_length_quantiles,
+        "g_attack_robustness": _q_attack_robustness,
     }
 
 
@@ -2686,6 +2696,13 @@ def oracle_sql() -> dict[str, str]:
         "n_chars",
         qs=(0.5, 0.9, 0.99),
         key_col="doc_id",
+    )
+    from ps_projekt_pagerank_spark.operators.robustness import (
+        attack_robustness_sql,
+    )
+
+    sqls["g_attack_robustness"] = attack_robustness_sql(
+        _BLOCK, ks=(0, 5, 25)
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

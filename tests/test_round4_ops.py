@@ -424,3 +424,39 @@ def test_capture_change_stats(spark):
     )
     stable = [r for r in rows if not r["changed"]]
     assert stable and all(r["n_captures"] == 1 for r in stable)
+
+
+# --- attack robustness ----------------------------------------------------------
+
+
+def test_attack_robustness_hand_graph(spark):
+    from ps_projekt_pagerank_spark.operators.robustness import (
+        attack_robustness,
+    )
+
+    # hub 0 (degree 4 — strictly the highest) bridges two triangles
+    # {1,2,3} and {4,5,6}
+    edges = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4),
+         (0, 1), (0, 2), (0, 4), (0, 5)],
+    )
+    rows = {r["k"]: r for r in attack_robustness(edges, ks=(0, 1)).collect()}
+    assert rows[0]["n_nodes"] == 7 and rows[0]["giant_size"] == 7
+    assert rows[0]["giant_frac"] == 1.0
+    # removing the hub splits the graph into two triangles
+    assert rows[1]["n_nodes"] == 6 and rows[1]["giant_size"] == 3
+    assert rows[1]["giant_frac"] == 0.5
+
+
+def test_attack_robustness_total_removal(spark):
+    from ps_projekt_pagerank_spark.operators.robustness import (
+        attack_robustness,
+    )
+
+    edges = _edges(spark, [(1, 2)])
+    rows = {r["k"]: r for r in attack_robustness(edges, ks=(1, 2)).collect()}
+    # one survivor, isolated -> singleton giant
+    assert rows[1]["n_nodes"] == 1 and rows[1]["giant_size"] == 1
+    # all nodes removed -> empty graph
+    assert rows[2]["n_nodes"] == 0 and rows[2]["giant_frac"] == 0.0
