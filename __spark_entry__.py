@@ -1164,6 +1164,15 @@ def _q_attack_robustness(spark, sf_dir):
     return attack_robustness(D.block_edges(spark, sf_dir), ks=(0, 5, 25))
 
 
+
+def _q_embedding_outliers(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        embedding_outliers,
+    )
+
+    return embedding_outliers(D.embeddings(spark, sf_dir), q=0.9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1281,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_capture_changes": _q_capture_changes,
         "text_length_quantiles": _q_length_quantiles,
         "g_attack_robustness": _q_attack_robustness,
+        "emb_outlier_filter": _q_embedding_outliers,
     }
 
 
@@ -2703,6 +2713,13 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["g_attack_robustness"] = attack_robustness_sql(
         _BLOCK, ks=(0, 5, 25)
+    )
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        embedding_outliers_sql,
+    )
+
+    sqls["emb_outlier_filter"] = embedding_outliers_sql(
+        "SELECT vec_id, label, embedding FROM embeddings", q=0.9
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

@@ -139,3 +139,97 @@ def cluster_stats_sql(embeddings_sql: str) -> str:
         "round(sum(m2), 6) AS mean_sq_norm "
         "FROM pd GROUP BY label"
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q: float = 0.9,
+) -> DataFrame:
+    """(vec_id, label, dist2 DOUBLE, is_outlier BOOLEAN) — squared L2
+    distance to the vector's (6dp-rounded) label centroid, flagged when
+    the distance exceeds the EXACT global q-quantile (rank statistic over
+    the distributed numbering, quantiles.exact_quantiles' technique).
+    The embedding-space quality filter an ingest runs before training:
+    far-from-centroid vectors are mislabeled/garbled candidates.
+
+    Determinism: centroid means rounded 6dp (cluster_stats' k-means
+    replay trick), dist2 rounded 6dp after the fixed-length per-vector
+    sum, threshold selected by rank (never by floating comparison of
+    engine-accumulated sums).
+
+    Scale: one explode + (label, dim) agg for centroids, one equi-join
+    back on (label, dim) + per-vector agg for distances, one
+    range-partitioned numbering for the threshold, one broadcast scalar
+    compare. No windows without partitions, no Python.
+    """
+    import math
+
+    from ..plans.positions import global_positions
+
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must lie in (0, 1], got {q}")
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    ).select(
+        "vec_id", "label", "dim", F.col("v").cast("double").alias("v")
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("m")
+    )
+    dist = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))),
+                6,
+            ).alias("dist2")
+        )
+    )
+    n = dist.count()
+    rank = max(1, math.ceil(float(q) * n))
+    thr = (
+        global_positions(
+            dist.select("dist2", "vec_id"),
+            [F.asc("dist2"), F.asc("vec_id")],
+            pos_col="_rank",
+        )
+        .where(F.col("_rank") == rank)
+        .select(F.col("dist2").alias("_thr"))
+    )
+    return dist.crossJoin(F.broadcast(thr)).select(
+        "vec_id",
+        "label",
+        "dist2",
+        (F.col("dist2") > F.col("_thr")).alias("is_outlier"),
+    )
+
+
+def embedding_outliers_sql(embeddings_sql: str, q: float = 0.9) -> str:
+    """DuckDB twin — identical centroid rounding, distance rounding, and
+    rank-selected threshold."""
+    return (
+        "WITH ex0 AS (SELECT vec_id, label, "
+        "unnest(range(0, len(embedding))) AS dim, embedding AS emb "
+        f"FROM ({embeddings_sql})), "
+        "ex AS (SELECT vec_id, label, CAST(dim AS INT) AS dim, "
+        "CAST(emb[CAST(dim AS INT) + 1] AS DOUBLE) AS v FROM ex0), "
+        "cent AS (SELECT label, dim, round(avg(v), 6) AS m FROM ex "
+        "GROUP BY label, dim), "
+        "dist AS (SELECT ex.vec_id, ex.label, "
+        "round(sum((ex.v - cent.m) * (ex.v - cent.m)), 6) AS dist2 "
+        "FROM ex JOIN cent ON cent.label = ex.label AND cent.dim = ex.dim "
+        "GROUP BY ex.vec_id, ex.label), "
+        "thr AS (SELECT dist2 AS t FROM (SELECT dist2, row_number() OVER "
+        "(ORDER BY dist2 ASC, vec_id ASC) AS rn FROM dist) "
+        "WHERE rn = greatest(1, CAST(ceil("
+        f"CAST({float(q)} AS DOUBLE) * (SELECT count(*) FROM dist)) "
+        "AS BIGINT))) "
+        "SELECT vec_id, label, dist2, dist2 > thr.t AS is_outlier "
+        "FROM dist, thr"
+    )

@@ -460,3 +460,46 @@ def test_attack_robustness_total_removal(spark):
     assert rows[1]["n_nodes"] == 1 and rows[1]["giant_size"] == 1
     # all nodes removed -> empty graph
     assert rows[2]["n_nodes"] == 0 and rows[2]["giant_frac"] == 0.0
+
+
+# --- embedding outliers -----------------------------------------------------------
+
+
+def test_embedding_outliers_planted(spark):
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        embedding_outliers,
+    )
+
+    # 9 tight vectors around (1,0) plus one far outlier per label
+    rows = []
+    vid = 0
+    for label in (0, 1):
+        for i in range(9):
+            rows.append((vid, label, [1.0 + i * 0.001, 0.0]))
+            vid += 1
+        rows.append((vid, label, [50.0, 50.0]))
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in embedding_outliers(df, q=0.9).collect()}
+    planted = {9, 19}
+    flagged = {v for v, r in out.items() if r["is_outlier"]}
+    assert flagged == planted
+    # the outlier drags the centroid, but tight members still sit two
+    # orders of magnitude closer to it than the plant does
+    tight_max = max(out[v]["dist2"] for v in out if v not in planted)
+    plant_min = min(out[v]["dist2"] for v in planted)
+    assert plant_min > 50 * tight_max
+
+
+def test_embedding_outliers_validates_q(spark):
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        embedding_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0])], "vec_id long, label int, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        embedding_outliers(df, q=1.5)
