@@ -210,6 +210,57 @@ def main():
         ),
     ))
 
+    # 10. rich-club: broadcast theta-join against the constant k list
+    from ps_projekt_pagerank_spark.operators.richclub import rich_club
+
+    sections.append((
+        "rich-club coefficient (broadcast theta-join on thresholds)",
+        "The only non-equi joins are against the CONSTANT-size threshold "
+        "list (BroadcastNestedLoopJoin with the tiny side broadcast); "
+        "degrees and per-k counts are two-phase HashAggregates. No "
+        "windows, no cartesian product against data-sized relations.",
+        formatted(rich_club(D.web_edges(spark, sf_dir))),
+    ))
+
+    # 11. exact quantiles: range-partitioned numbering + broadcast probe
+    from ps_projekt_pagerank_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    sections.append((
+        "exact quantiles (rank statistic over distributed numbering)",
+        "The ONLY window is partitioned by the range-partition bucket "
+        "(_pid); rank probes arrive as a broadcast |qs|-row join. Never "
+        "a global sort through one task.",
+        formatted(
+            exact_quantiles(
+                D.documents(spark, sf_dir).select("doc_id", "n_chars"),
+                "n_chars",
+                key_col="doc_id",
+            )
+        ),
+    ))
+
+    # 12. contamination: shingle equi-join, benchmark side broadcastable
+    from ps_projekt_pagerank_spark.functions.contamination import (
+        ngram_contamination,
+    )
+
+    docs_c = D.near_dup_documents(spark, sf_dir).select("doc_id", "text")
+    sections.append((
+        "benchmark contamination (shingle equi-join)",
+        "Both sides explode to (doc, shingle) rows and meet in ONE "
+        "equi-join on the shingle string; the benchmark side is tiny "
+        "(eval suites are MBs) so AQE broadcasts it. Per-doc counts are "
+        "two-phase HashAggregates.",
+        formatted(
+            ngram_contamination(
+                docs_c.where(F.col("doc_id") % 10 != 0),
+                docs_c.where(F.col("doc_id") % 10 == 0),
+            )
+        ),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the hot operators\n\n"
