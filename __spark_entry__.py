@@ -1173,6 +1173,43 @@ def _q_embedding_outliers(spark, sf_dir):
     return embedding_outliers(D.embeddings(spark, sf_dir), q=0.9)
 
 
+def _q_boilerplate_lines(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.lines import boilerplate_lines
+
+    return boilerplate_lines(D.paged_documents(spark, sf_dir), min_docs=3)
+
+
+def _q_c4_clean(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.lines import c4_clean
+
+    return c4_clean(D.paged_documents(spark, sf_dir))
+
+
+def _q_pack_spans(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        D.documents(spark, sf_dir).select("doc_id", "text"), seq_len=512
+    )
+
+
+def _q_pack_summary(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.packing import packing_summary
+
+    return packing_summary(
+        D.documents(spark, sf_dir).select("doc_id", "text"), seq_len=512
+    )
+
+
+def _q_overlap_pairs(spark, sf_dir):
+    # bucket-join fallback on the wide-vocabulary fixture (per-token df ~ 2
+    # so the df cap never trims); the candidate-driven path shares
+    # _pair_intersections with dedup_token_jaccard's gate entry
+    return dd.token_overlap_pairs(
+        D.quote_documents(spark, sf_dir), threshold=0.9
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1291,6 +1328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": _q_length_quantiles,
         "g_attack_robustness": _q_attack_robustness,
         "emb_outlier_filter": _q_embedding_outliers,
+        "text_boilerplate_lines": _q_boilerplate_lines,
+        "text_c4_clean": _q_c4_clean,
+        "pack_doc_spans": _q_pack_spans,
+        "pack_summary": _q_pack_summary,
+        "dedup_overlap_pairs": _q_overlap_pairs,
     }
 
 
@@ -2720,6 +2762,26 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["emb_outlier_filter"] = embedding_outliers_sql(
         "SELECT vec_id, label, embedding FROM embeddings", q=0.9
+    )
+    from ps_projekt_pagerank_spark.functions.lines import (
+        boilerplate_lines_sql,
+        c4_clean_sql,
+    )
+
+    sqls["text_boilerplate_lines"] = boilerplate_lines_sql(
+        D.PAGED_DOCS_SQL, min_docs=3
+    )
+    sqls["text_c4_clean"] = c4_clean_sql(D.PAGED_DOCS_SQL)
+    from ps_projekt_pagerank_spark.operators.packing import (
+        pack_sequences_sql,
+        packing_summary_sql,
+    )
+
+    _DOCS_PLAIN = "SELECT doc_id, text FROM documents"
+    sqls["pack_doc_spans"] = pack_sequences_sql(_DOCS_PLAIN, seq_len=512)
+    sqls["pack_summary"] = packing_summary_sql(_DOCS_PLAIN, seq_len=512)
+    sqls["dedup_overlap_pairs"] = dd.token_overlap_pairs_sql(
+        D.QUOTE_DOCS_SQL, threshold=0.9
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

@@ -104,6 +104,49 @@ def minhash_lsh_pairs(
     )
 
 
+def _pair_intersections(
+    toks: DataFrame,
+    candidates: DataFrame | None,
+    max_token_df: int | None,
+) -> DataFrame:
+    """(id_a, id_b, inter) — shared-token counts per pair, candidate-driven
+    when ``candidates`` is given, else via the df-capped token-bucket
+    self-join (see token_jaccard_pairs for the cap contract)."""
+    if candidates is not None:
+        ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
+        tb = toks.select(F.col("doc_id").alias("id_b"), "tok")
+        return (
+            candidates.select("id_a", "id_b")
+            .join(ta, "id_a")
+            .join(tb, ["id_b", "tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    if max_token_df is not None:
+        df_ok = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_token_df)
+            .select("tok")
+        )
+        toks_j = toks.join(df_ok, "tok", "left_semi")
+    else:
+        toks_j = toks
+    ta = toks_j.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = toks_j.select(
+        F.col("doc_id").alias("id_b"), F.col("tok").alias("tok2")
+    )
+    return (
+        ta.join(
+            tb,
+            (F.col("tok") == F.col("tok2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def token_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -127,40 +170,7 @@ def token_jaccard_pairs(
     every shared token is capped can be missed entirely)."""
     toks = _doc_tokens(docs, text_col)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    if candidates is not None:
-        ta = toks.select(F.col("doc_id").alias("id_a"), "tok")
-        tb = toks.select(F.col("doc_id").alias("id_b"), "tok")
-        inter = (
-            candidates.select("id_a", "id_b")
-            .join(ta, "id_a")
-            .join(tb, ["id_b", "tok"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
-        )
-    else:
-        if max_token_df is not None:
-            df_ok = (
-                toks.groupBy("tok")
-                .agg(F.count("*").alias("df"))
-                .where(F.col("df") <= max_token_df)
-                .select("tok")
-            )
-            toks_j = toks.join(df_ok, "tok", "left_semi")
-        else:
-            toks_j = toks
-        ta = toks_j.select(F.col("doc_id").alias("id_a"), "tok")
-        tb = toks_j.select(
-            F.col("doc_id").alias("id_b"), F.col("tok").alias("tok2")
-        )
-        inter = (
-            ta.join(
-                tb,
-                (F.col("tok") == F.col("tok2"))
-                & (F.col("id_a") < F.col("id_b")),
-            )
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
-        )
+    inter = _pair_intersections(toks, candidates, max_token_df)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -176,6 +186,65 @@ def token_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def token_overlap_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+    max_token_df: int | None = 1000,
+) -> DataFrame:
+    """(id_a, id_b, overlap) — overlap coefficient |A∩B| / min(|A|,|B|)
+    over distinct token sets, ≥ threshold. Catches CONTAINMENT dups —
+    a short page quoted wholesale inside a longer one scores ~1.0 here
+    while its jaccard stays low (the long side inflates the union) — the
+    asymmetric-duplication case jaccard-only dedup misses. Same
+    candidate-driven scale shape as token_jaccard_pairs (feed it
+    minhash_lsh_pairs output); the bucket-join fallback inherits the
+    max_token_df cap contract documented there."""
+    toks = _doc_tokens(docs, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = _pair_intersections(toks, candidates, max_token_df)
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / F.least("sz_a", "sz_b").cast("double"), 6
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= threshold)
+    )
+
+
+def token_overlap_pairs_sql(
+    docs_sql: str, threshold: float, max_token_df: int = 1000
+) -> str:
+    """DuckDB twin of token_overlap_pairs' bucket-join fallback — same
+    distinct-lowercase-token derivation, df cap, least-size denominator,
+    1e-6 rounding."""
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+        "unnest(string_split(lower(text), ' ')) AS tok "
+        f"FROM ({docs_sql})) WHERE tok <> ''), "
+        "dfok AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM toks "
+        f"GROUP BY tok) WHERE df <= {int(max_token_df)}), "
+        "tj AS (SELECT t.doc_id, t.tok FROM toks t JOIN dfok USING (tok)), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS i FROM tj a JOIN tj b ON a.tok = b.tok "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, overlap FROM (SELECT id_a, id_b, "
+        "round(i / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS overlap "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b) "
+        f"WHERE overlap >= {threshold}"
     )
 
 

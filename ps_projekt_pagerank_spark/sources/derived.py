@@ -446,3 +446,120 @@ def crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_epoch + CRAWL_RECRAWL_GAP_S,
     )
     return first.unionAll(recrawl)
+
+
+PAGED_DOCS_SQL = (
+    # multi-line web pages for the C4-style line-level cleaner: every doc
+    # becomes a page with a nav line (no terminal punctuation), the real
+    # content line, a per-source copyright line (boilerplate repeated
+    # across the source's docs), and deterministic junk — a javascript
+    # notice (every 4th doc), a too-short line (every 5th), a lorem-ipsum
+    # page-killer (every 7th) — plus a near-unique section line. Line
+    # separator is chr(10) in both engines; optional lines concatenate a
+    # chr(10)-prefixed segment or '' so positions stay aligned with
+    # Spark's split on '\n'.
+    "SELECT doc_id, "
+    "'Home | About | Contact' || chr(10) "
+    "|| text || '.' || chr(10) "
+    "|| 'Copyright 2024 ' || source || ' Inc. All rights reserved.' "
+    "|| CASE WHEN doc_id % 4 = 1 THEN chr(10) "
+    "|| 'Please enable JavaScript to continue.' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 2 THEN chr(10) || 'Read more.' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 3 THEN chr(10) "
+    "|| 'lorem ipsum dolor sit amet.' ELSE '' END "
+    "|| chr(10) || 'Section ' || (doc_id % 5)::VARCHAR || ' ' "
+    "|| substr(md5('sec' || doc_id::VARCHAR), 1, 8) "
+    "|| ' notes follow here.' AS text "
+    "FROM documents"
+)
+
+
+@_cacheable
+def paged_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) — PAGED_DOCS_SQL's Spark twin: multi-line pages with
+    planted nav/copyright/javascript/short/lorem lines for the C4 cleaner
+    and boilerplate detector (functions.lines)."""
+    nl = F.lit("\n")
+    did = F.col("doc_id").cast("string")
+    opt = lambda cond, line: F.when(cond, F.concat(nl, F.lit(line))).otherwise(F.lit(""))  # noqa: E731
+    page = F.concat(
+        F.lit("Home | About | Contact"),
+        nl,
+        F.col("text"),
+        F.lit("."),
+        nl,
+        F.lit("Copyright 2024 "),
+        F.col("source"),
+        F.lit(" Inc. All rights reserved."),
+        opt(F.col("doc_id") % 4 == 1, "Please enable JavaScript to continue."),
+        opt(F.col("doc_id") % 5 == 2, "Read more."),
+        opt(F.col("doc_id") % 7 == 3, "lorem ipsum dolor sit amet."),
+        nl,
+        F.lit("Section "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" "),
+        F.substring(F.md5(F.concat(F.lit("sec"), did).cast("binary")), 1, 8),
+        F.lit(" notes follow here."),
+    )
+    return documents(spark, sf_dir).select("doc_id", page.alias("text"))
+
+
+QUOTE_ID_OFFSET = 20_000_000
+QUOTE_PLANT_MOD = 8
+QUOTE_TOKENS = 16
+
+QUOTE_DOCS_SQL = (
+    # containment-dup fixture: the wide-vocabulary originals (same token
+    # construction as NEAR_DUP_DOCS_SQL) plus, for every 8th doc, a
+    # "quote" doc holding just its first 16 of 64 tokens — a wholesale
+    # inclusion whose overlap coefficient is 1.0 while its jaccard is
+    # only 16/64 (the case jaccard-threshold dedup misses)
+    "SELECT doc_id, array_to_string(list_transform(range(0, 64), "
+    "j -> substr(md5(doc_id::VARCHAR || '#' || j::VARCHAR), 1, 6)), ' ') "
+    "AS text FROM documents WHERE doc_id < 200 "
+    "UNION ALL "
+    "SELECT doc_id + 20000000 AS doc_id, array_to_string("
+    "list_transform(range(0, 16), "
+    "j -> substr(md5(doc_id::VARCHAR || '#' || j::VARCHAR), 1, 6)), ' ') "
+    "AS text FROM documents WHERE doc_id < 200 AND doc_id % 8 = 0"
+)
+
+
+@_cacheable
+def quote_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) — QUOTE_DOCS_SQL's Spark twin: wide-vocabulary
+    originals with planted subset-quote docs for the overlap-coefficient
+    (containment) dedup path."""
+    base = documents(spark, sf_dir).where(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def mk_text(n_toks: int):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_toks - 1)),
+                lambda j: F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("#"),
+                            j.cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+            ),
+        )
+
+    originals = base.select("doc_id", mk_text(NEAR_DUP_TOKENS).alias("text"))
+    quotes = (
+        base.where(F.col("doc_id") % QUOTE_PLANT_MOD == 0)
+        .select(
+            (F.col("doc_id") + QUOTE_ID_OFFSET).alias("new_id"),
+            mk_text(QUOTE_TOKENS).alias("text"),
+        )
+        .select(F.col("new_id").alias("doc_id"), "text")
+    )
+    return originals.unionAll(quotes)
