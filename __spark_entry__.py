@@ -1210,6 +1210,20 @@ def _q_overlap_pairs(spark, sf_dir):
     )
 
 
+def _q_simrank(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.simrank import simrank
+
+    return simrank(D.simrank_edges(spark, sf_dir), iterations=2)
+
+
+def _q_corpus_diversity(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.diversity import (
+        corpus_diversity,
+    )
+
+    return corpus_diversity(D.documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1333,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_doc_spans": _q_pack_spans,
         "pack_summary": _q_pack_summary,
         "dedup_overlap_pairs": _q_overlap_pairs,
+        "lp_simrank2": _q_simrank,
+        "smp_corpus_diversity": _q_corpus_diversity,
     }
 
 
@@ -2782,6 +2798,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["pack_summary"] = packing_summary_sql(_DOCS_PLAIN, seq_len=512)
     sqls["dedup_overlap_pairs"] = dd.token_overlap_pairs_sql(
         D.QUOTE_DOCS_SQL, threshold=0.9
+    )
+    from ps_projekt_pagerank_spark.operators.simrank import simrank_sql
+
+    sqls["lp_simrank2"] = simrank_sql(D.SIMRANK_EDGES_SQL, iterations=2)
+    from ps_projekt_pagerank_spark.functions.diversity import (
+        corpus_diversity_sql,
+    )
+
+    sqls["smp_corpus_diversity"] = corpus_diversity_sql(
+        "SELECT doc_id, lang, source FROM documents"
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

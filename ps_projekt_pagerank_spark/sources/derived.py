@@ -563,3 +563,25 @@ def quote_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("new_id").alias("doc_id"), "text")
     )
     return originals.unionAll(quotes)
+
+
+SIMRANK_EDGES_SQL = (
+    # bounded in-degree digraph for the pruned-SimRank gate query: 97
+    # sources x 53 targets, ~400 edges, in-degree ~7 — the candidate x
+    # in-degree^2 join stays a few-10k-row frame in both engines
+    "SELECT doc_id % 97 AS src, (doc_id * 7) % 53 AS dst "
+    "FROM documents WHERE doc_id < 400"
+)
+
+
+@_cacheable
+def simrank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) — SIMRANK_EDGES_SQL's Spark twin."""
+    return (
+        documents(spark, sf_dir)
+        .where(F.col("doc_id") < 400)
+        .select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 7) % 53).alias("dst"),
+        )
+    )
