@@ -1224,6 +1224,20 @@ def _q_corpus_diversity(spark, sf_dir):
     return corpus_diversity(D.documents(spark, sf_dir))
 
 
+def _q_mirror_hosts(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.hostgraph import mirror_hosts
+
+    return mirror_hosts(D.mirror_pages(spark, sf_dir), threshold=0.5)
+
+
+def _q_readability(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.readability import readability
+
+    # paged docs have real sentence punctuation; raw documents are
+    # punctuation-free and all clamp to one sentence
+    return readability(D.paged_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1349,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_overlap_pairs": _q_overlap_pairs,
         "lp_simrank2": _q_simrank,
         "smp_corpus_diversity": _q_corpus_diversity,
+        "s4_mirror_hosts": _q_mirror_hosts,
+        "text_readability": _q_readability,
     }
 
 
@@ -2809,6 +2825,18 @@ def oracle_sql() -> dict[str, str]:
     sqls["smp_corpus_diversity"] = corpus_diversity_sql(
         "SELECT doc_id, lang, source FROM documents"
     )
+    from ps_projekt_pagerank_spark.operators.hostgraph import (
+        mirror_hosts_sql,
+    )
+
+    sqls["s4_mirror_hosts"] = mirror_hosts_sql(
+        D.MIRROR_PAGES_SQL, threshold=0.5
+    )
+    from ps_projekt_pagerank_spark.functions.readability import (
+        readability_sql,
+    )
+
+    sqls["text_readability"] = readability_sql(D.PAGED_DOCS_SQL)
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
     return sqls

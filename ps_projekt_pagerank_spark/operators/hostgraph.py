@@ -286,3 +286,90 @@ def host_crawl_budget_sql(
         "AS BIGINT) AS budget "
         "FROM rk CROSS JOIN lv"
     )
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    threshold: float = 0.5,
+    host_col: str = "host",
+    text_col: str = "text",
+    max_hosts_per_fp: int = 16,
+) -> DataFrame:
+    """(host_a, host_b, shared, overlap) — mirror/CDN-alias detection:
+    hash every page body (md5), count fingerprints shared between host
+    pairs, and report pairs whose overlap coefficient
+    shared / min(|fp(a)|, |fp(b)|) ≥ ``threshold``. A full mirror scores
+    1.0 even when one side also hosts extra content.
+
+    Scale: per-host fingerprint sets are one hash agg; the pair join
+    buckets on the fingerprint, and real page bodies are near-unique so
+    bucket sizes hover at 1 except for actual mirrors. Degenerate bodies
+    (empty pages, '404' stubs) shared by many hosts would blow the
+    bucket up quadratically, so fingerprints on more than
+    ``max_hosts_per_fp`` hosts are excluded from pairing (they assert
+    template reuse, not mirroring) — same cap contract as
+    cocitation's max_fanout.
+    """
+    fps = pages.select(
+        F.col(host_col).alias("host"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+    ).distinct()
+    sizes = fps.groupBy("host").agg(F.count("*").alias("sz"))
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_hosts_per_fp)
+        .select("fp")
+    )
+    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = cold.select(F.col("host").alias("host_a"), "fp")
+    b = cold.select(F.col("host").alias("host_b"), "fp")
+    shared = (
+        a.join(b, ["fp"])
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("sz_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("sz_b")),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least("sz_a", "sz_b").cast("double"), 6
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= threshold)
+    )
+
+
+def mirror_hosts_sql(
+    pages_sql: str, threshold: float = 0.5, max_hosts_per_fp: int = 16
+) -> str:
+    """DuckDB twin of mirror_hosts — identical md5 fingerprints, hot-
+    fingerprint cap, least-size overlap, 1e-6 rounding."""
+    return (
+        "WITH fps AS (SELECT DISTINCT host, md5(text) AS fp "
+        f"FROM ({pages_sql})), "
+        "sizes AS (SELECT host, count(*) AS sz FROM fps GROUP BY host), "
+        "cold AS (SELECT f.host, f.fp FROM fps f JOIN (SELECT fp FROM fps "
+        f"GROUP BY fp HAVING count(*) <= {int(max_hosts_per_fp)}) ok "
+        "USING (fp)), "
+        "shared AS (SELECT a.host AS host_a, b.host AS host_b, "
+        "count(*) AS shared FROM cold a JOIN cold b ON a.fp = b.fp "
+        "AND a.host < b.host GROUP BY 1, 2) "
+        "SELECT host_a, host_b, shared, overlap FROM ("
+        "SELECT host_a, host_b, shared, "
+        "round(shared / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS overlap "
+        "FROM shared JOIN sizes sa ON sa.host = host_a "
+        "JOIN sizes sb ON sb.host = host_b) "
+        f"WHERE overlap >= {threshold}"
+    )

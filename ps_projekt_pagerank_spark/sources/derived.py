@@ -585,3 +585,29 @@ def simrank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * 7) % 53).alias("dst"),
         )
     )
+
+
+MIRROR_HOST_MOD = 40
+MIRROR_PLANT_LIM = 8
+
+MIRROR_PAGES_SQL = (
+    # host-mirror fixture: 40 hosts of ~n/40 pages each; hosts h0..h7 get
+    # full mirror twins m0..m7 carrying byte-identical page bodies, so
+    # the mirror detector should flag exactly those 8 pairs at 1.0
+    "SELECT 'h' || (doc_id % 40)::VARCHAR AS host, text FROM documents "
+    "UNION ALL "
+    "SELECT 'm' || (doc_id % 40)::VARCHAR AS host, text FROM documents "
+    "WHERE doc_id % 40 < 8"
+)
+
+
+@_cacheable
+def mirror_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, text) — MIRROR_PAGES_SQL's Spark twin."""
+    docs = documents(spark, sf_dir)
+    hk = (F.col("doc_id") % MIRROR_HOST_MOD).cast("string")
+    base = docs.select(F.concat(F.lit("h"), hk).alias("host"), "text")
+    mirrors = docs.where(
+        F.col("doc_id") % MIRROR_HOST_MOD < MIRROR_PLANT_LIM
+    ).select(F.concat(F.lit("m"), hk).alias("host"), "text")
+    return base.unionAll(mirrors)
