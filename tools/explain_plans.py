@@ -261,6 +261,49 @@ def main():
         ),
     ))
 
+    from ps_projekt_pagerank_spark.functions.lines import c4_clean
+    from ps_projekt_pagerank_spark.operators.hostgraph import mirror_hosts
+    from ps_projekt_pagerank_spark.operators.packing import pack_sequences
+    from ps_projekt_pagerank_spark.operators.simrank import simrank
+
+    sections.append((
+        "C4 line cleaning (explode → filter → first-occurrence join → regroup)",
+        "One posexplode to |lines| rows with the line rules as JVM "
+        "predicates; the corpus dedup is a two-phase HashAggregate on the "
+        "line string plus ONE equi-join back; reassembly is a per-doc "
+        "hash agg (sort_array over collected structs), never a global "
+        "sort. No window, no cartesian product.",
+        formatted(c4_clean(D.paged_documents(spark, sf_dir))),
+    ))
+    sections.append((
+        "sequence packing (distributed prefix sum)",
+        "The only window partitions by spark_partition_id after a "
+        "RangePartitioning exchange — per-partition cumsum, offsets from "
+        "a |partitions|-row driver pass. A partitionless window must NOT "
+        "appear.",
+        formatted(
+            pack_sequences(
+                D.documents(spark, sf_dir).select("doc_id", "text"), 512
+            )
+        ),
+    ))
+    sections.append((
+        "pruned SimRank sweep",
+        "Candidate pairs come from an equi-join on the shared in-neighbor "
+        "(never all-pairs); each sweep is the cand ⋈ in-edges ⋈ in-edges "
+        "chain (bounded by cap² per pair) + LEFT equi-join on the prior "
+        "scores + one two-phase HashAggregate. All equi-joins; "
+        "CartesianProduct must NOT appear.",
+        formatted(simrank(D.simrank_edges(spark, sf_dir), iterations=2)),
+    ))
+    sections.append((
+        "host mirror detection (fingerprint bucket join)",
+        "Pairs key on the md5 page fingerprint after the hot-fingerprint "
+        "cap (broadcast anti-join) — bucket-local, linear on real "
+        "corpora. No cartesian product.",
+        formatted(mirror_hosts(D.mirror_pages(spark, sf_dir))),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the hot operators\n\n"
