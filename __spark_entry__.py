@@ -1238,6 +1238,14 @@ def _q_readability(spark, sf_dir):
     return readability(D.paged_documents(spark, sf_dir))
 
 
+def _q_trap_hosts(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.hostgraph import (
+        crawler_trap_hosts,
+    )
+
+    return crawler_trap_hosts(D.trap_pages(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1365,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_corpus_diversity": _q_corpus_diversity,
         "s4_mirror_hosts": _q_mirror_hosts,
         "text_readability": _q_readability,
+        "s4_crawler_traps": _q_trap_hosts,
     }
 
 
@@ -2837,6 +2846,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["text_readability"] = readability_sql(D.PAGED_DOCS_SQL)
+    from ps_projekt_pagerank_spark.operators.hostgraph import (
+        crawler_trap_hosts_sql,
+    )
+
+    sqls["s4_crawler_traps"] = crawler_trap_hosts_sql(D.TRAP_PAGES_SQL)
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
     return sqls

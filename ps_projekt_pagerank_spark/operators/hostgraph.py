@@ -373,3 +373,56 @@ def mirror_hosts_sql(
         "JOIN sizes sb ON sb.host = host_b) "
         f"WHERE overlap >= {threshold}"
     )
+
+
+def crawler_trap_hosts(
+    pages: DataFrame,
+    min_urls: int = 8,
+    ratio_threshold: float = 4.0,
+    host_col: str = "host",
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(host, n_urls, n_contents, url_content_ratio) — crawler-trap
+    detection: a host serving many distinct URLs over few distinct page
+    bodies (session ids, calendars, faceted navigation) wastes crawl
+    budget and floods dedup. Flags hosts with ≥ ``min_urls`` distinct
+    URLs whose distinct-URL / distinct-content ratio ≥
+    ``ratio_threshold``.
+
+    Scale: one hash agg per host with two exact distinct counts — Spark
+    expands multi-distinct into an Expand + two-phase agg, still
+    shuffle-once per host key. The ratio is one IEEE division."""
+    agg = pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.count_distinct(F.col(url_col)).alias("n_urls"),
+        F.count_distinct(F.md5(F.col(text_col).cast("binary"))).alias(
+            "n_contents"
+        ),
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_contents",
+        F.round(
+            F.col("n_urls") / F.col("n_contents").cast("double"), 6
+        ).alias("url_content_ratio"),
+    ).where(
+        (F.col("n_urls") >= min_urls)
+        & (F.col("url_content_ratio") >= ratio_threshold)
+    )
+
+
+def crawler_trap_hosts_sql(
+    pages_sql: str, min_urls: int = 8, ratio_threshold: float = 4.0
+) -> str:
+    """DuckDB twin of crawler_trap_hosts."""
+    return (
+        "SELECT host, n_urls, n_contents, url_content_ratio FROM ("
+        "SELECT host, CAST(count(DISTINCT url) AS BIGINT) AS n_urls, "
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_contents, "
+        "round(count(DISTINCT url) / CAST(count(DISTINCT md5(text)) "
+        "AS DOUBLE), 6) AS url_content_ratio "
+        f"FROM ({pages_sql}) GROUP BY host) "
+        f"WHERE n_urls >= {int(min_urls)} "
+        f"AND url_content_ratio >= {ratio_threshold}"
+    )

@@ -611,3 +611,37 @@ def mirror_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % MIRROR_HOST_MOD < MIRROR_PLANT_LIM
     ).select(F.concat(F.lit("m"), hk).alias("host"), "text")
     return base.unionAll(mirrors)
+
+
+TRAP_PAGES_SQL = (
+    # crawler-trap fixture: 20 honest hosts (one body per url) plus a
+    # 'trap' host whose every doc spawns a distinct session url over only
+    # 5 distinct bodies
+    "SELECT 'h' || (doc_id % 20)::VARCHAR AS host, "
+    "'u' || doc_id::VARCHAR AS url, text FROM documents "
+    "UNION ALL "
+    "SELECT 'trap' AS host, 'u?session=' || doc_id::VARCHAR AS url, "
+    "'trap page ' || (doc_id % 5)::VARCHAR AS text FROM documents"
+)
+
+
+@_cacheable
+def trap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, url, text) — TRAP_PAGES_SQL's Spark twin."""
+    docs = documents(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    honest = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("u"), did).alias("url"),
+        "text",
+    )
+    trap = docs.select(
+        F.lit("trap").alias("host"),
+        F.concat(F.lit("u?session="), did).alias("url"),
+        F.concat(
+            F.lit("trap page "), (F.col("doc_id") % 5).cast("string")
+        ).alias("text"),
+    )
+    return honest.unionAll(trap)

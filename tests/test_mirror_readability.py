@@ -74,3 +74,24 @@ def test_readability_clamps_and_nulls(spark):
     assert out[1]["n_sentences"] == 1  # clamp, no divide-by-zero
     assert out[2]["n_words"] == 0
     assert out[2]["flesch"] is None and out[2]["fk_grade"] is None
+
+
+def test_crawler_trap_hosts(spark):
+    from ps_projekt_pagerank_spark.operators.hostgraph import (
+        crawler_trap_hosts,
+    )
+
+    rows = (
+        # honest: 10 urls, 10 bodies
+        [("good", f"u{i}", f"body {i}") for i in range(10)]
+        # trap: 12 urls over 2 bodies → ratio 6
+        + [("bad", f"u?s={i}", f"t{i % 2}") for i in range(12)]
+        # small: high ratio but under min_urls
+        + [("tiny", f"p{i}", "same") for i in range(4)]
+    )
+    pages = spark.createDataFrame(rows, "host string, url string, text string")
+    out = crawler_trap_hosts(pages, min_urls=8, ratio_threshold=4.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["host"] == "bad" and r["n_urls"] == 12 and r["n_contents"] == 2
+    assert r["url_content_ratio"] == 6.0
