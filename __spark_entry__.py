@@ -1246,6 +1246,20 @@ def _q_trap_hosts(spark, sf_dir):
     return crawler_trap_hosts(D.trap_pages(spark, sf_dir))
 
 
+def _q_grouped_quantiles(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.quantiles import (
+        grouped_quantiles,
+    )
+
+    return grouped_quantiles(
+        D.documents(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        "lang",
+        qs=(0.25, 0.5, 0.9),
+        key_col="doc_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1374,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_mirror_hosts": _q_mirror_hosts,
         "text_readability": _q_readability,
         "s4_crawler_traps": _q_trap_hosts,
+        "text_lang_quantiles": _q_grouped_quantiles,
     }
 
 
@@ -2851,6 +2866,17 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["s4_crawler_traps"] = crawler_trap_hosts_sql(D.TRAP_PAGES_SQL)
+    from ps_projekt_pagerank_spark.operators.quantiles import (
+        grouped_quantiles_sql,
+    )
+
+    sqls["text_lang_quantiles"] = grouped_quantiles_sql(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        "n_chars",
+        "lang",
+        qs=(0.25, 0.5, 0.9),
+        key_col="doc_id",
+    )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
     return sqls

@@ -151,3 +151,67 @@ def test_token_overlap_candidate_driven(spark):
     cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     out = token_overlap_pairs(docs, threshold=0.5, candidates=cands).collect()
     assert [(r["id_a"], r["id_b"], r["overlap"]) for r in out] == [(1, 2, 1.0)]
+
+
+# --- grouped quantiles -------------------------------------------------------
+
+
+def test_grouped_quantiles_closed_form(spark):
+    from ps_projekt_pagerank_spark.operators.quantiles import (
+        grouped_quantiles,
+    )
+
+    rows = [(i, "a", i * 10) for i in range(1, 11)] + [
+        (100 + i, "b", i) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, v long")
+    out = {
+        (r["grp"], r["q"]): (r["rank"], r["value"])
+        for r in grouped_quantiles(
+            df, "v", "grp", qs=(0.5, 0.9), key_col="doc_id"
+        ).collect()
+    }
+    # a: n=10 → rank(.5)=5 value 50, rank(.9)=9 value 90
+    assert out[("a", 0.5)] == (5, 50) and out[("a", 0.9)] == (9, 90)
+    # b: n=4 → rank(.5)=2 value 2, rank(.9)=4 value 4
+    assert out[("b", 0.5)] == (2, 2) and out[("b", 0.9)] == (4, 4)
+
+
+def test_grouped_positions_match_single_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+    from ps_projekt_pagerank_spark.operators.quantiles import (
+        grouped_positions,
+    )
+
+    rows = [(i, "g%d" % (i % 3), (i * 37) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, grp string, v long").repartition(8)
+    got = {
+        (r["grp"], r["k"]): r["rank"]
+        for r in grouped_positions(
+            df, "grp", [F2.asc("v"), F2.asc("k")]
+        ).collect()
+    }
+    want = {
+        (r["grp"], r["k"]): r["rank"]
+        for r in df.withColumn(
+            "rank",
+            F2.row_number().over(
+                Window.partitionBy("grp").orderBy(F2.asc("v"), F2.asc("k"))
+            ).cast("long"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_quantiles_validates_qs(spark):
+    import pytest as _pytest
+    from ps_projekt_pagerank_spark.operators.quantiles import (
+        grouped_quantiles,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1)], "doc_id long, grp string, v long")
+    with _pytest.raises(ValueError):
+        grouped_quantiles(df, "v", "grp", qs=())
+    with _pytest.raises(ValueError):
+        grouped_quantiles(df, "v", "grp", qs=(0.0,))
