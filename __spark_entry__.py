@@ -1260,6 +1260,12 @@ def _q_grouped_quantiles(spark, sf_dir):
     )
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    return tx.ngram_novelty(
+        D.documents(spark, sf_dir).select("doc_id", "text"), n=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1389,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": _q_readability,
         "s4_crawler_traps": _q_trap_hosts,
         "text_lang_quantiles": _q_grouped_quantiles,
+        "text_ngram_novelty": _q_ngram_novelty,
     }
 
 
@@ -2870,6 +2877,9 @@ def oracle_sql() -> dict[str, str]:
         grouped_quantiles_sql,
     )
 
+    sqls["text_ngram_novelty"] = tx.ngram_novelty_sql(
+        "SELECT doc_id, text FROM documents", n=3
+    )
     sqls["text_lang_quantiles"] = grouped_quantiles_sql(
         "SELECT doc_id, lang, n_chars FROM documents",
         "n_chars",

@@ -622,3 +622,69 @@ def vocab_coverage_sql(docs_sql: str, top_k: int = 100) -> str:
         "CAST(cum_count AS DOUBLE) / CAST(total AS DOUBLE) AS coverage "
         "FROM cum CROSS JOIN tot"
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_ngrams, novel_ngrams, novelty) — how much of a document
+    is corpus-original: the fraction of its DISTINCT word n-grams that
+    occur in no other document (corpus document frequency 1). Templated /
+    syndicated text scores near 0, fresh prose near 1 — the inverse of
+    chunk_dup_stats' boilerplate signal and a direct mix-quality feature.
+
+    Docs with fewer than ``n`` tokens have no n-grams → NULL novelty.
+
+    Scale: one explode to distinct (doc, ngram) rows, a map-side-
+    combinable df agg on the ngram, one equi-join back, one per-doc agg
+    — chunk_dup_stats' exact shape."""
+    toks = docs.select("doc_id", F.split(F.col(text_col), " ").alias("t"))
+    grams = (
+        toks.select("doc_id", F.explode(_ngrams(F.col("t"), n)).alias("g"))
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    per = (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("novel_ngrams"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ngrams", F.lit(0).cast("long")).alias("n_ngrams"),
+        F.coalesce("novel_ngrams", F.lit(0).cast("long")).alias(
+            "novel_ngrams"
+        ),
+        F.when(
+            F.coalesce("n_ngrams", F.lit(0).cast("long")) > 0,
+            F.round(
+                F.col("novel_ngrams") / F.col("n_ngrams").cast("double"), 6
+            ),
+        ).alias("novelty"),
+    )
+
+
+def ngram_novelty_sql(docs_sql: str, n: int = 3) -> str:
+    """DuckDB twin of ngram_novelty — identical n-gram construction
+    (list_slice == Spark slice on single-spaced text)."""
+    n = int(n)
+    return (
+        f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "
+        f"FROM ({docs_sql})), "
+        "grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, "
+        f"array_to_string(list_slice(t, i + 1, i + {n}), ' ') AS g "
+        "FROM (SELECT doc_id, t, unnest(range(0, "
+        f"greatest(len(t) - {n - 1}, 0))) AS i FROM d))), "
+        "dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g), "
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, "
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "
+        "novel_ngrams FROM grams JOIN dfreq USING (g) GROUP BY doc_id) "
+        "SELECT b.doc_id, coalesce(p.n_ngrams, 0) AS n_ngrams, "
+        "coalesce(p.novel_ngrams, 0) AS novel_ngrams, "
+        "CASE WHEN coalesce(p.n_ngrams, 0) > 0 THEN "
+        "round(p.novel_ngrams / CAST(p.n_ngrams AS DOUBLE), 6) END "
+        "AS novelty FROM d b LEFT JOIN per p USING (doc_id)"
+    )

@@ -215,3 +215,33 @@ def test_grouped_quantiles_validates_qs(spark):
         grouped_quantiles(df, "v", "grp", qs=())
     with _pytest.raises(ValueError):
         grouped_quantiles(df, "v", "grp", qs=(0.0,))
+
+
+# --- n-gram novelty ----------------------------------------------------------
+
+
+def test_ngram_novelty_closed_form(spark):
+    from ps_projekt_pagerank_spark.functions.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),      # trigrams {a b c, b c d}
+        (2, "a b c x"),      # trigrams {a b c, b c x} — shares "a b c"
+        (3, "q r"),          # too short → 0 ngrams, NULL novelty
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(_docs(spark, rows), n=3).collect()
+    }
+    assert out[1]["n_ngrams"] == 2 and out[1]["novel_ngrams"] == 1
+    assert out[1]["novelty"] == 0.5
+    assert out[2]["novelty"] == 0.5
+    assert out[3]["n_ngrams"] == 0 and out[3]["novelty"] is None
+
+
+def test_ngram_novelty_distinct_within_doc(spark):
+    from ps_projekt_pagerank_spark.functions.text import ngram_novelty
+
+    # "a b a b a b": trigrams (a b a, b a b, a b a, b a b) → 2 DISTINCT,
+    # both df=1 → novelty 1.0
+    out = ngram_novelty(_docs(spark, [(1, "a b a b a b")]), n=3).collect()[0]
+    assert out["n_ngrams"] == 2 and out["novelty"] == 1.0
