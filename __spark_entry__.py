@@ -1201,6 +1201,23 @@ def _q_pack_summary(spark, sf_dir):
     )
 
 
+def _q_dup_span_stats(spark, sf_dir):
+    # ExactSubstr-style (Lee et al. 2022) duplicated-span stats on the
+    # planted-quote fixture: quote docs read dup_fraction 1.0, their
+    # originals 0.25 (first 16 of 64 tokens), everything else 0
+    return dd.duplicated_span_stats(
+        D.quote_documents(spark, sf_dir), k=8, min_count=2
+    )
+
+
+def _q_dup_span_clean(spark, sf_dir):
+    # removal variant: ALL occurrences of a duplicated span go (the
+    # ExactSubstr rule); byte-identical round-trip for untouched docs
+    return dd.remove_duplicated_spans(
+        D.quote_documents(spark, sf_dir), k=8, min_count=2
+    )
+
+
 def _q_overlap_pairs(spark, sf_dir):
     # bucket-join fallback on the wide-vocabulary fixture (per-token df ~ 2
     # so the df cap never trims); the candidate-driven path shares
@@ -1389,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_doc_spans": _q_pack_spans,
         "pack_summary": _q_pack_summary,
         "dedup_overlap_pairs": _q_overlap_pairs,
+        "dedup_span_stats": _q_dup_span_stats,
+        "dedup_span_clean": _q_dup_span_clean,
         "lp_simrank2": _q_simrank,
         "smp_corpus_diversity": _q_corpus_diversity,
         "s4_mirror_hosts": _q_mirror_hosts,
@@ -2845,6 +2864,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["pack_summary"] = packing_summary_sql(_DOCS_PLAIN, seq_len=512)
     sqls["dedup_overlap_pairs"] = dd.token_overlap_pairs_sql(
         D.QUOTE_DOCS_SQL, threshold=0.9
+    )
+    sqls["dedup_span_stats"] = dd.duplicated_span_stats_sql(
+        D.QUOTE_DOCS_SQL, k=8, min_count=2
+    )
+    sqls["dedup_span_clean"] = dd.remove_duplicated_spans_sql(
+        D.QUOTE_DOCS_SQL, k=8, min_count=2
     )
     from ps_projekt_pagerank_spark.operators.simrank import simrank_sql
 

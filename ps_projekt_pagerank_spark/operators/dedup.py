@@ -631,3 +631,233 @@ def chunk_dup_stats_sql(docs_sql: str, chunk_tokens: int = 16) -> str:
         "AS dup_fraction "
         "FROM base b LEFT JOIN per p USING (doc_id)"
     )
+
+
+def _dup_span_islands(
+    docs: DataFrame, text_col: str, k: int, min_count: int
+) -> DataFrame:
+    """(doc_id, start, end) maximal duplicated spans — shared helper for
+    duplicated_span_stats / remove_duplicated_spans.
+
+    Every overlapping k-token shingle (stride 1) is hashed; a shingle is
+    "duplicated" when its corpus-wide occurrence count (all positions in
+    all docs, within-doc repeats included — the ExactSubstr counting rule
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") reaches ``min_count``. Hit positions per doc are
+    merged gaps-and-islands style into maximal covered spans: because
+    every hit covers exactly k tokens, coverage stays contiguous while
+    consecutive sorted hits are <= k apart, so a lag-window over pos is
+    sufficient (no max-end running state needed).
+
+    Scale: |tokens| shingle rows → map-side-combinable hash agg for the
+    corpus frequencies → one equi-join on the shingle hash (AQE splits
+    the hot boilerplate shingles) → per-doc windows only (partitionBy
+    doc_id). Nothing quadratic, no global windows.
+    """
+    from pyspark.sql.window import Window
+
+    kk = int(k)
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("toks")
+    )
+    n_pos = (F.size("toks") - kk + 1).cast("int")
+    sh = toks.select(
+        "doc_id",
+        F.when(
+            n_pos > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_pos - 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice("toks", i + 1, F.lit(kk))
+                    ).cast("binary")
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("hs"),
+    ).select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    freq = sh.groupBy("h").agg(F.count("*").alias("c"))
+    hits = (
+        sh.join(freq.where(F.col("c") >= int(min_count)), "h")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > kk),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") + kk - 1).alias("end"),
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_spans, dup_tokens, dup_fraction) —
+    ExactSubstr-style duplicated-span detection (Lee et al. 2022),
+    k-gram-shingle approximation of the suffix-array method: per doc,
+    how many maximal spans are covered by k-grams that occur >=
+    ``min_count`` times corpus-wide, and what token fraction they cover.
+    The reference's pipeline has no dedup stage; this extends the corpus
+    toolbox the north rule asks for (web-scale training data).
+
+    dup_fraction is one IEEE int64/int64 division — engine-exact against
+    ``duplicated_span_stats_sql``.
+    """
+    spans = _dup_span_islands(docs, text_col, k, min_count)
+    per = spans.groupBy("doc_id").agg(
+        F.count("*").alias("dup_spans"),
+        F.sum(F.col("end") - F.col("start") + 1).alias("dup_tokens"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0).cast("long")).alias(
+                "dup_spans"
+            ),
+            F.coalesce(F.col("dup_tokens").cast("long"), F.lit(0).cast("long")).alias(
+                "dup_tokens"
+            ),
+            (
+                F.coalesce(F.col("dup_tokens").cast("long"), F.lit(0).cast("long")).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, text_col: str = "text", k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """(doc_id, clean_text, removed_tokens) — drop every token covered by
+    a duplicated span (ALL occurrences go, per the ExactSubstr rule; the
+    canonical copy, if one is wanted, is a survivor-selection concern —
+    dedup_survivors). Token order is preserved; docs with nothing
+    removed round-trip byte-identically (single-spaced corpus contract,
+    as chunk_dup_stats).
+
+    Scale: covered positions are exploded per span (linear in removed
+    tokens) and anti-joined against the posexploded token table; the
+    rebuild is one per-doc sort-agg. All shuffles key on doc_id.
+    """
+    spans = _dup_span_islands(docs, text_col, k, min_count)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("start", "end")).alias("pos"),
+    ).distinct()
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("_n"),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+                "removed_tokens"
+            ),
+        )
+    )
+
+
+def _dup_span_islands_sql(docs_sql: str, k: int, min_count: int) -> str:
+    kk = int(k)
+    return (
+        f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        f"FROM ({docs_sql})), "
+        "sh AS (SELECT doc_id, i AS pos, md5(array_to_string("
+        f"list_slice(toks, i + 1, i + {kk}), ' ')) AS h "
+        "FROM (SELECT doc_id, toks, unnest(range(0, "
+        f"greatest(len(toks) - {kk} + 1, 0))) AS i FROM d)), "
+        "freq AS (SELECT h, count(*) AS c FROM sh GROUP BY h), "
+        "hits AS (SELECT doc_id, pos FROM sh JOIN freq USING (h) "
+        f"WHERE c >= {int(min_count)}), "
+        "brks AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) IS NULL OR "
+        f"pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {kk} "
+        "THEN 1 ELSE 0 END AS brk FROM hits), "
+        "isl AS (SELECT doc_id, pos, sum(brk) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS isl_id FROM brks), "
+        "spans AS (SELECT doc_id, isl_id, min(pos) AS s, "
+        f"max(pos) + {kk} - 1 AS e FROM isl GROUP BY doc_id, isl_id)"
+    )
+
+
+def duplicated_span_stats_sql(
+    docs_sql: str, k: int = 8, min_count: int = 2
+) -> str:
+    """DuckDB twin of duplicated_span_stats — identical shingling
+    (list_slice == Spark slice on the single-spaced corpus), identical
+    md5 keys, identical lag-window island merge, identical IEEE
+    division."""
+    base = _dup_span_islands_sql(docs_sql, k, min_count)
+    return (
+        base + ", "
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans, "
+        "CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens "
+        "FROM spans GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens, "
+        "coalesce(p.dup_spans, 0) AS dup_spans, "
+        "coalesce(p.dup_tokens, 0) AS dup_tokens, "
+        "CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / "
+        "CAST(len(d.toks) AS DOUBLE) AS dup_fraction "
+        "FROM d LEFT JOIN per p USING (doc_id)"
+    )
+
+
+def remove_duplicated_spans_sql(
+    docs_sql: str, k: int = 8, min_count: int = 2
+) -> str:
+    """DuckDB twin of remove_duplicated_spans — covered positions from
+    the same spans CTE, string_agg ORDER BY pos rebuild."""
+    base = _dup_span_islands_sql(docs_sql, k, min_count)
+    return (
+        base + ", "
+        "covered AS (SELECT DISTINCT doc_id, s + j AS pos FROM "
+        "(SELECT doc_id, s, unnest(range(0, e - s + 1)) AS j FROM spans)), "
+        "tok AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok FROM "
+        "(SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM d)), "
+        "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t "
+        "LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos "
+        "WHERE c.pos IS NULL), "
+        "rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+        "AS clean_text, CAST(count(*) AS BIGINT) AS n_kept "
+        "FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+        "CAST(len(d.toks) AS BIGINT) - coalesce(r.n_kept, 0) "
+        "AS removed_tokens "
+        "FROM d LEFT JOIN rebuilt r USING (doc_id)"
+    )
