@@ -518,6 +518,16 @@ def _q_eff_diameter(spark, sf_dir):
     )
 
 
+def _q_closeness(spark, sf_dir):
+    # truncated closeness from the effective-diameter seed sample; exact
+    # BIGINT moments + one guarded IEEE division per score
+    from ps_projekt_pagerank_spark.operators.bfs import closeness_sampled
+
+    return closeness_sampled(
+        D.sparse_edges(spark, sf_dir), seeds=_DIAM_SEEDS, max_depth=5
+    )
+
+
 def _q_sssp_weighted(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.bfs import sssp_weighted
 
@@ -1305,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bfs_dist4": _q_bfs_distances,
         "g_bfs_hopplot": _q_bfs_hopplot,
         "g_eff_diameter": _q_eff_diameter,
+        "g_closeness": _q_closeness,
         "g_sssp_weighted4": _q_sssp_weighted,
         "g_betweenness": _q_betweenness,
         "g_ktruss3": _q_ktruss3,
@@ -2137,6 +2148,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["g_eff_diameter"] = effective_diameter_sql(
         _SPARSE, _DIAM_SEEDS, 5
     )
+    from ps_projekt_pagerank_spark.operators.bfs import closeness_sampled_sql
+
+    sqls["g_closeness"] = closeness_sampled_sql(_SPARSE, _DIAM_SEEDS, 5)
     from ps_projekt_pagerank_spark.operators.bfs import sssp_weighted_sql
 
     sqls["g_sssp_weighted4"] = sssp_weighted_sql(

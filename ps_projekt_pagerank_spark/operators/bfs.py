@@ -327,3 +327,75 @@ def sssp_weighted_sql(
             f"FROM e JOIN s{k - 1} s ON e.src = s.id) GROUP BY id)"
         )
     return ",\n".join(parts) + f"\nSELECT id, dist FROM s{rounds}"
+
+
+def closeness_sampled(
+    edges: DataFrame, seeds: list[int], max_depth: int
+) -> DataFrame:
+    """(seed, reached, sum_dist, closeness, closeness_wf) — outward
+    closeness centrality for sampled seed nodes, bounded at ``max_depth``
+    hops (nodes farther than that are excluded — the standard truncated/
+    sampled estimate; raise max_depth past the effective diameter for the
+    exact value). ``closeness`` is the classic (reached-1)/sum_dist;
+    ``closeness_wf`` applies the Wasserman-Faust reachable-fraction
+    correction (reached-1)^2 / ((n_nodes-1) * sum_dist), which makes
+    scores comparable across disconnected components.
+
+    Every moment is an exact BIGINT (counts and distance sums); the two
+    scores are single IEEE divisions — engine-exact vs
+    ``closeness_sampled_sql``. Seeds that reach nothing (isolated or
+    sink seeds) get NULL scores rather than a 0/0.
+
+    Scale: rides bfs_per_seed (|seeds| interleaved traversals sharing
+    every shuffle); the finish is one |seeds|-row agg plus a broadcast
+    one-row node count. Reference parity: the reference computes no
+    centralities beyond PageRank (pagerank.cpp); closeness extends the
+    link-analysis family the survey's §2.5 calls for.
+    """
+    dist = bfs_per_seed(edges, seeds, max_depth)
+    n_nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .agg(F.countDistinct("id").alias("n_nodes"))
+    )
+    per = dist.groupBy("seed").agg(
+        F.count("*").alias("reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+    r1 = F.col("reached") - 1
+    return per.crossJoin(F.broadcast(n_nodes)).select(
+        "seed",
+        "reached",
+        "sum_dist",
+        F.when(
+            F.col("sum_dist") > 0,
+            r1.cast("double") / F.col("sum_dist").cast("double"),
+        ).alias("closeness"),
+        F.when(
+            F.col("sum_dist") > 0,
+            (r1 * r1).cast("double")
+            / ((F.col("n_nodes") - 1) * F.col("sum_dist")).cast("double"),
+        ).alias("closeness_wf"),
+    )
+
+
+def closeness_sampled_sql(
+    edges_sql: str, seeds: list[int], max_depth: int
+) -> str:
+    """DuckDB twin of closeness_sampled — same unrolled BFS chain, same
+    BIGINT moments, same guarded IEEE divisions."""
+    return (
+        f"WITH dist AS ({bfs_per_seed_sql(edges_sql, seeds, max_depth)}), "
+        f"nn AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_nodes "
+        f"FROM (SELECT src AS id FROM ({edges_sql}) "
+        f"UNION ALL SELECT dst FROM ({edges_sql}))), "
+        "per AS (SELECT seed, CAST(count(*) AS BIGINT) AS reached, "
+        "CAST(sum(dist) AS BIGINT) AS sum_dist FROM dist GROUP BY seed) "
+        "SELECT seed, reached, sum_dist, "
+        "CASE WHEN sum_dist > 0 THEN CAST(reached - 1 AS DOUBLE) / "
+        "CAST(sum_dist AS DOUBLE) END AS closeness, "
+        "CASE WHEN sum_dist > 0 THEN "
+        "CAST((reached - 1) * (reached - 1) AS DOUBLE) / "
+        "CAST((n_nodes - 1) * sum_dist AS DOUBLE) END AS closeness_wf "
+        "FROM per CROSS JOIN nn"
+    )

@@ -167,3 +167,50 @@ def test_sssp_weighted_matches_python_and_duckdb(spark):
     )
     oracle = {r[0]: r[1] for r in duckdb.connect().execute(sql).fetchall()}
     assert got == oracle
+
+
+def test_closeness_sampled(spark):
+    from ps_projekt_pagerank_spark.operators.bfs import (
+        closeness_sampled,
+        closeness_sampled_sql,
+    )
+
+    seeds = [0, 8, 9, 5]
+    edges = spark.createDataFrame(EDGES, "src LONG, dst LONG")
+    got = {
+        r["seed"]: r.asDict()
+        for r in closeness_sampled(edges, seeds, max_depth=6).collect()
+    }
+    # python oracle from the module's own BFS reference
+    n_nodes = len({x for e in EDGES for x in e})
+    for s in seeds:
+        dist = _py_bfs([e for e in EDGES], [s], 6)
+        reached, sumd = len(dist), sum(dist.values())
+        r = got[s]
+        assert r["reached"] == reached and r["sum_dist"] == sumd
+        if sumd > 0:
+            assert r["closeness"] == pytest.approx((reached - 1) / sumd)
+            assert r["closeness_wf"] == pytest.approx(
+                (reached - 1) ** 2 / ((n_nodes - 1) * sumd)
+            )
+        else:  # seed 9 reaches nothing
+            assert r["closeness"] is None and r["closeness_wf"] is None
+    # duckdb twin agrees row-for-row
+    con = duckdb.connect()
+    rows = con.execute(
+        closeness_sampled_sql(
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({a}, {b})" for a, b in EDGES)
+            + ") AS t(src, dst)",
+            seeds,
+            6,
+        )
+    ).fetchall()
+    twin = {r[0]: r for r in rows}
+    for s in seeds:
+        g = got[s]
+        assert twin[s][1] == g["reached"] and twin[s][2] == g["sum_dist"]
+        assert (twin[s][3] is None) == (g["closeness"] is None)
+        if g["closeness"] is not None:
+            assert twin[s][3] == pytest.approx(g["closeness"])
+            assert twin[s][4] == pytest.approx(g["closeness_wf"])
