@@ -671,6 +671,26 @@ def _q_knn_lsh(spark, sf_dir):
     ).select("query_id", "neighbor_id", "knn_rank")
 
 
+def _q_knn_pq(spark, sf_dir):
+    # product quantization: m=4 subspaces x ksub=8 codewords over the
+    # 64-dim embeddings; ADC distances. The twin replays the per-subspace
+    # Lloyd trajectory (rounded-L2 assignment, 6-dp means) exactly.
+    vecs = D.embeddings(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sim.knn_pq(
+        vecs, queries, k=5, m=4, ksub=8, kmeans_iters=2, dim=64
+    ).select("query_id", "neighbor_id", "knn_rank")
+
+
+def _q_pq_codes(spark, sf_dir):
+    # the compressed-corpus artifact itself: every vector as m codeword ids
+    vecs = D.embeddings(spark, sf_dir)
+    books = sim.pq_codebooks(vecs, m=4, ksub=8, kmeans_iters=2, dim=64)
+    return sim.pq_encode(vecs, books, m=4, dim=64)
+
+
 def _q_token_stats(spark, sf_dir):
     return tx.quality_features(D.documents(spark, sf_dir))
 
@@ -1357,6 +1377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_top5": _q_knn,
         "knn_lsh_top5": _q_knn_lsh,
         "knn_ivf_top5": _q_knn_ivf,
+        "knn_pq_top5": _q_knn_pq,
+        "pq_codes": _q_pq_codes,
         "text_token_stats": _q_token_stats,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -1884,6 +1906,59 @@ def _kmeans_cents_ctes(num_centroids: int, iters: int) -> tuple[list[str], str]:
             f"FROM dim{i} GROUP BY cell, dim) GROUP BY cell)",
         ]
     return ctes, f"c{iters}"
+
+
+def _pq_ctes(m: int, ksub: int, iters: int, dim: int) -> list[str]:
+    """CTE chain replaying similarity.pq_codebooks + pq_encode: per-subspace
+    Lloyd k-means (seeds = smallest ids, assignment by rounded squared-L2
+    asc, ties -> smaller cent_id, per-dim means rounded 6 dp) ending in
+    ``codes`` (sub, neighbor_id, code) and the final book ``b{iters}``."""
+    dsub = dim // m
+    vals = ", ".join(f"({s})" for s in range(m))
+    ctes = [
+        f"subs AS MATERIALIZED (SELECT vec_id AS pid, s.sub, "
+        f"embedding[s.sub*{dsub}+1 : s.sub*{dsub}+{dsub}] AS pvec "
+        f"FROM embeddings, (VALUES {vals}) s(sub))",
+        f"pqseeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id "
+        f"LIMIT {ksub})",
+        "b0 AS MATERIALIZED (SELECT sub, pid AS cent_id, "
+        "list_transform(pvec, x -> CAST(x AS DOUBLE)) AS cvec "
+        "FROM subs WHERE pid IN (SELECT vec_id FROM pqseeds))",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"ap{i} AS (SELECT p.sub, p.pid, c.cent_id, "
+            f"CAST(unnest(p.pvec) AS DOUBLE) AS x, unnest(c.cvec) AS y "
+            f"FROM subs p JOIN b{i} c ON c.sub = p.sub)",
+            f"asg{i} AS (SELECT sub, pid, cent_id, "
+            f"round(sum((x-y)*(x-y)), 6) AS d FROM ap{i} "
+            f"GROUP BY sub, pid, cent_id)",
+            f"scell{i} AS MATERIALIZED (SELECT sub, pid, cent_id AS cell "
+            f"FROM (SELECT sub, pid, cent_id, row_number() OVER "
+            f"(PARTITION BY sub, pid ORDER BY d ASC, cent_id ASC) AS rn "
+            f"FROM asg{i}) WHERE rn = 1)",
+            f"sdim{i} AS (SELECT ce.sub, ce.cell, "
+            f"generate_subscripts(p.pvec, 1) AS dim, "
+            f"CAST(unnest(p.pvec) AS DOUBLE) AS val FROM subs p "
+            f"JOIN scell{i} ce ON ce.sub = p.sub AND ce.pid = p.pid)",
+            f"b{i + 1} AS MATERIALIZED (SELECT sub, cell AS cent_id, "
+            f"list(mval ORDER BY dim) AS cvec FROM (SELECT sub, cell, dim, "
+            f"round(avg(val), 6) AS mval FROM sdim{i} "
+            f"GROUP BY sub, cell, dim) GROUP BY sub, cell)",
+        ]
+    fin = f"b{iters}"
+    ctes += [
+        f"ep AS (SELECT p.sub, p.pid, c.cent_id, "
+        f"CAST(unnest(p.pvec) AS DOUBLE) AS x, unnest(c.cvec) AS y "
+        f"FROM subs p JOIN {fin} c ON c.sub = p.sub)",
+        "es AS (SELECT sub, pid, cent_id, round(sum((x-y)*(x-y)), 6) AS d "
+        "FROM ep GROUP BY sub, pid, cent_id)",
+        "codes AS MATERIALIZED (SELECT sub, pid AS neighbor_id, "
+        "cent_id AS code FROM (SELECT sub, pid, cent_id, row_number() OVER "
+        "(PARTITION BY sub, pid ORDER BY d ASC, cent_id ASC) AS rn FROM es) "
+        "WHERE rn = 1)",
+    ]
+    return ctes
 
 
 def _ivf_assign_ctes(cents: str, nprobe: int) -> list[str]:
@@ -2430,6 +2505,38 @@ def oracle_sql() -> dict[str, str]:
         )
         + " SELECT query_id, neighbor_id, knn_rank FROM ranked "
         "WHERE knn_rank <= 5"
+    )
+    # product quantization: the shared per-subspace k-means + encode chain,
+    # closed two ways — ADC top-k and the raw code table
+    pq_ctes = _pq_ctes(4, 8, 2, 64)
+    sqls["knn_pq_top5"] = (
+        "WITH "
+        + ", ".join(
+            pq_ctes
+            + [
+                "qp AS (SELECT q.sub, q.pid AS query_id, c.cent_id AS code, "
+                "CAST(unnest(q.pvec) AS DOUBLE) AS x, unnest(c.cvec) AS y "
+                "FROM subs q JOIN b2 c ON c.sub = q.sub WHERE q.pid < 3)",
+                "dtab AS (SELECT sub, query_id, code, "
+                "round(sum((x-y)*(x-y)), 6) AS d FROM qp "
+                "GROUP BY sub, query_id, code)",
+                "adc AS (SELECT t.query_id, c.neighbor_id, "
+                "round(sum(t.d), 6) AS dist FROM codes c JOIN dtab t "
+                "ON t.sub = c.sub AND t.code = c.code "
+                "WHERE t.query_id != c.neighbor_id "
+                "GROUP BY t.query_id, c.neighbor_id)",
+                "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+                "(PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) "
+                "AS knn_rank FROM adc)",
+            ]
+        )
+        + " SELECT query_id, neighbor_id, knn_rank FROM ranked "
+        "WHERE knn_rank <= 5"
+    )
+    sqls["pq_codes"] = (
+        "WITH "
+        + ", ".join(pq_ctes)
+        + " SELECT neighbor_id AS vec_id, sub, code FROM codes"
     )
     sqls["text_token_stats"] = (
         "WITH base AS (SELECT doc_id, text, length(text) AS n_chars_m, "

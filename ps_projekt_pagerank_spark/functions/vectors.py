@@ -28,3 +28,12 @@ def norm(a: Column | str) -> Column:
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2sq(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance Σ(aᵢ-bᵢ)², widened to double."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)

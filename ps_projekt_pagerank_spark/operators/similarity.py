@@ -13,6 +13,10 @@
   reproduces the cells), a query scores only the vectors in its ``nprobe``
   nearest cells. The classic inverted-file trade: recall vs the fraction
   of the corpus scanned; cells are the shuffle/partition unit at scale.
+- PQ (product quantization) ANN: each vector compressed to m codeword ids
+  (independent per-subspace k-means codebooks); queries rank candidates by
+  asymmetric distance (sum of per-subspace query-to-codeword distances) —
+  the corpus is scanned as codes, never as raw floats (Jégou et al. 2011).
 
 Scores are rounded before ranking and ties broken by id, so results are
 deterministic and engine-comparable.
@@ -26,7 +30,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, dot, l2sq
 
 
 def knn_bruteforce(
@@ -378,6 +382,164 @@ def build_ivf_index(
         .saveAsTable(name + "_cells")
     )
     return int(num_centroids)
+
+
+def _subvectors(
+    df: DataFrame, id_alias: str, vec_col: str, m: int, dim: int
+) -> DataFrame:
+    """(id_alias, sub, pvec) — each vector split into ``m`` contiguous
+    subvectors of dim/m components (1-based F.slice; the DuckDB twin uses
+    the identical ``embedding[s*dsub+1 : s*dsub+dsub]`` list slice)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * dsub + 1, dsub) for s in range(m)]
+    )
+    return df.select(
+        F.col(id_alias), F.posexplode(slices).alias("sub", "pvec")
+    )
+
+
+def _nearest_codes(subs: DataFrame, books: DataFrame, pid: str) -> DataFrame:
+    """(sub, pid, code) — per subspace, each subvector's nearest codeword
+    by rounded squared-L2 (ties → smaller cent_id), engine-reproducible."""
+    scored = subs.join(F.broadcast(books), "sub").select(
+        "sub",
+        F.col(pid),
+        F.col("cent_id"),
+        F.round(l2sq("pvec", "cvec"), 6).alias("d"),
+    )
+    w = Window.partitionBy("sub", pid).orderBy(F.asc("d"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("sub", pid, F.col("cent_id").alias("code"))
+    )
+
+
+def pq_codebooks(
+    vecs: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, cent_id, cvec ARRAY<DOUBLE>) — product-quantization codebooks:
+    an independent ``ksub``-codeword Lloyd k-means per subspace, all ``m``
+    subspaces trained in ONE DataFrame job (everything keyed by ``sub``).
+
+    Same determinism contract as ivf_centroids so the DuckDB oracle
+    replays the trajectory exactly: seeds = the ``ksub`` smallest ids
+    present (their subvectors seed every subspace), assignment by rounded
+    squared-L2 ascending (ties → smaller cent_id), update = per-dim mean
+    rounded 6 dp. PQ uses L2 — the textbook objective (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    where IVF here uses cosine.
+
+    Scale: the codebook is m·ksub·(dim/m) = ksub·dim doubles — a broadcast
+    constant; training shuffles n·dim (sub, cell, dim, val) rows per
+    iteration — linear, identical shape to one IVF update pass.
+    """
+    subs = _subvectors(
+        vecs.select(F.col(id_col).alias("pid"), vec_col), "pid", vec_col, m, dim
+    )
+    seeds = vecs.select(F.col(id_col).alias("pid")).orderBy("pid").limit(ksub)
+    books = subs.join(F.broadcast(seeds), "pid").select(
+        "sub",
+        F.col("pid").alias("cent_id"),
+        F.transform(F.col("pvec"), lambda v: v.cast("double")).alias("cvec"),
+    )
+    for _ in range(kmeans_iters):
+        assigned = _nearest_codes(subs, books, "pid")
+        dims = subs.join(assigned, ["sub", "pid"]).select(
+            "sub", F.col("code").alias("cell"), F.posexplode("pvec").alias("dim", "val")
+        )
+        books = (
+            dims.groupBy("sub", "cell", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mval"))
+            .groupBy("sub", F.col("cell").alias("cent_id"))
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mval"))).alias("dm"))
+            .select(
+                "sub", "cent_id", F.transform("dm", lambda s: s["mval"]).alias("cvec")
+            )
+        )
+    return books
+
+
+def pq_encode(
+    vecs: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, code) — each vector compressed to ``m`` codeword ids.
+
+    This is the 100 TB point of PQ: a dim-float vector becomes m small
+    ints (64 floats → 4 bytes here), so the code table for 10^10 vectors
+    fits in ~40 GB — scannable wholesale where raw vectors are not.
+    """
+    subs = _subvectors(
+        vecs.select(F.col(id_col).alias("pid"), vec_col), "pid", vec_col, m, dim
+    )
+    return _nearest_codes(subs, books, "pid").select(
+        F.col("pid").alias(id_col), "sub", "code"
+    )
+
+
+def knn_pq(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 4,
+    ksub: int = 8,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC):
+    dist(q, v) ≈ Σ_sub l2sq(q_sub, codeword(code_v[sub])). The query side
+    stays exact (uncompressed); only the corpus is quantized.
+
+    Output: (query_id, neighbor_id, dist, knn_rank) — rank ascending by
+    rounded distance, ties by neighbor_id, so both engines agree.
+
+    Scale shape: the per-query work is a |queries|·m·ksub distance TABLE
+    (broadcast-joined to the code list) + one groupBy over candidate
+    codes — never a join against raw corpus vectors. Per-sub distances
+    are rounded 6 dp before the sum, so the total is a sum of exact
+    6-dp terms — deterministic across engines.
+    """
+    books = pq_codebooks(vecs, m, ksub, kmeans_iters, dim, id_col, vec_col)
+    codes = pq_encode(vecs, books, m, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    )
+    qsubs = _subvectors(
+        queries.select(F.col("query_id"), F.col("qvec").alias(vec_col)),
+        "query_id", vec_col, m, dim,
+    )
+    dtab = qsubs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cent_id").alias("code"),
+        F.round(l2sq("pvec", "cvec"), 6).alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
 
 
 def knn_ivf_stored(
