@@ -691,6 +691,20 @@ def _q_pq_codes(spark, sf_dir):
     return sim.pq_encode(vecs, books, m=4, dim=64)
 
 
+def _q_knn_ivfpq(spark, sf_dir):
+    # IVFADC: coarse L2 cells + PQ on residuals — the twin replays BOTH
+    # k-means trajectories (coarse = an m=1 chain) and the per-cell
+    # query-residual ADC
+    vecs = D.embeddings(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sim.knn_ivfpq(
+        vecs, queries, k=5, num_cells=4, m=4, ksub=8, kmeans_iters=2,
+        nprobe=2, dim=64,
+    ).select("query_id", "neighbor_id", "knn_rank")
+
+
 def _q_token_stats(spark, sf_dir):
     return tx.quality_features(D.documents(spark, sf_dir))
 
@@ -1379,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_top5": _q_knn_ivf,
         "knn_pq_top5": _q_knn_pq,
         "pq_codes": _q_pq_codes,
+        "knn_ivfpq_top5": _q_knn_ivfpq,
         "text_token_stats": _q_token_stats,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -1908,55 +1923,69 @@ def _kmeans_cents_ctes(num_centroids: int, iters: int) -> tuple[list[str], str]:
     return ctes, f"c{iters}"
 
 
-def _pq_ctes(m: int, ksub: int, iters: int, dim: int) -> list[str]:
+def _pq_ctes(
+    m: int,
+    ksub: int,
+    iters: int,
+    dim: int,
+    src: str = "embeddings",
+    idc: str = "vec_id",
+    vcol: str = "embedding",
+    pfx: str = "",
+) -> list[str]:
     """CTE chain replaying similarity.pq_codebooks + pq_encode: per-subspace
     Lloyd k-means (seeds = smallest ids, assignment by rounded squared-L2
     asc, ties -> smaller cent_id, per-dim means rounded 6 dp) ending in
-    ``codes`` (sub, neighbor_id, code) and the final book ``b{iters}``."""
+    ``{pfx}codes`` (sub, neighbor_id, code) and the final book
+    ``{pfx}b{iters}``. ``src/idc/vcol`` retarget the chain at any relation
+    with an (id, vector-list) shape; ``pfx`` namespaces the CTEs so two
+    chains compose in one query (IVFADC = a coarse m=1 chain + a residual
+    chain)."""
     dsub = dim // m
     vals = ", ".join(f"({s})" for s in range(m))
     ctes = [
-        f"subs AS MATERIALIZED (SELECT vec_id AS pid, s.sub, "
-        f"embedding[s.sub*{dsub}+1 : s.sub*{dsub}+{dsub}] AS pvec "
-        f"FROM embeddings, (VALUES {vals}) s(sub))",
-        f"pqseeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id "
+        f"{pfx}subs AS MATERIALIZED (SELECT {idc} AS pid, s.sub, "
+        f"{vcol}[s.sub*{dsub}+1 : s.sub*{dsub}+{dsub}] AS pvec "
+        f"FROM {src}, (VALUES {vals}) s(sub))",
+        f"{pfx}pqseeds AS (SELECT {idc} FROM {src} ORDER BY {idc} "
         f"LIMIT {ksub})",
-        "b0 AS MATERIALIZED (SELECT sub, pid AS cent_id, "
-        "list_transform(pvec, x -> CAST(x AS DOUBLE)) AS cvec "
-        "FROM subs WHERE pid IN (SELECT vec_id FROM pqseeds))",
+        f"{pfx}b0 AS MATERIALIZED (SELECT sub, pid AS cent_id, "
+        f"list_transform(pvec, x -> CAST(x AS DOUBLE)) AS cvec "
+        f"FROM {pfx}subs WHERE pid IN (SELECT {idc} FROM {pfx}pqseeds))",
     ]
     for i in range(iters):
         ctes += [
-            f"ap{i} AS (SELECT p.sub, p.pid, c.cent_id, "
+            f"{pfx}ap{i} AS (SELECT p.sub, p.pid, c.cent_id, "
             f"CAST(unnest(p.pvec) AS DOUBLE) AS x, unnest(c.cvec) AS y "
-            f"FROM subs p JOIN b{i} c ON c.sub = p.sub)",
-            f"asg{i} AS (SELECT sub, pid, cent_id, "
-            f"round(sum((x-y)*(x-y)), 6) AS d FROM ap{i} "
+            f"FROM {pfx}subs p JOIN {pfx}b{i} c ON c.sub = p.sub)",
+            f"{pfx}asg{i} AS (SELECT sub, pid, cent_id, "
+            f"round(sum((x-y)*(x-y)), 6) AS d FROM {pfx}ap{i} "
             f"GROUP BY sub, pid, cent_id)",
-            f"scell{i} AS MATERIALIZED (SELECT sub, pid, cent_id AS cell "
+            f"{pfx}scell{i} AS MATERIALIZED (SELECT sub, pid, cent_id AS cell "
             f"FROM (SELECT sub, pid, cent_id, row_number() OVER "
             f"(PARTITION BY sub, pid ORDER BY d ASC, cent_id ASC) AS rn "
-            f"FROM asg{i}) WHERE rn = 1)",
-            f"sdim{i} AS (SELECT ce.sub, ce.cell, "
+            f"FROM {pfx}asg{i}) WHERE rn = 1)",
+            f"{pfx}sdim{i} AS (SELECT ce.sub, ce.cell, "
             f"generate_subscripts(p.pvec, 1) AS dim, "
-            f"CAST(unnest(p.pvec) AS DOUBLE) AS val FROM subs p "
-            f"JOIN scell{i} ce ON ce.sub = p.sub AND ce.pid = p.pid)",
-            f"b{i + 1} AS MATERIALIZED (SELECT sub, cell AS cent_id, "
+            f"CAST(unnest(p.pvec) AS DOUBLE) AS val FROM {pfx}subs p "
+            f"JOIN {pfx}scell{i} ce ON ce.sub = p.sub AND ce.pid = p.pid)",
+            f"{pfx}b{i + 1} AS MATERIALIZED (SELECT sub, cell AS cent_id, "
             f"list(mval ORDER BY dim) AS cvec FROM (SELECT sub, cell, dim, "
-            f"round(avg(val), 6) AS mval FROM sdim{i} "
+            f"round(avg(val), 6) AS mval FROM {pfx}sdim{i} "
             f"GROUP BY sub, cell, dim) GROUP BY sub, cell)",
         ]
-    fin = f"b{iters}"
+    fin = f"{pfx}b{iters}"
     ctes += [
-        f"ep AS (SELECT p.sub, p.pid, c.cent_id, "
+        f"{pfx}ep AS (SELECT p.sub, p.pid, c.cent_id, "
         f"CAST(unnest(p.pvec) AS DOUBLE) AS x, unnest(c.cvec) AS y "
-        f"FROM subs p JOIN {fin} c ON c.sub = p.sub)",
-        "es AS (SELECT sub, pid, cent_id, round(sum((x-y)*(x-y)), 6) AS d "
-        "FROM ep GROUP BY sub, pid, cent_id)",
-        "codes AS MATERIALIZED (SELECT sub, pid AS neighbor_id, "
-        "cent_id AS code FROM (SELECT sub, pid, cent_id, row_number() OVER "
-        "(PARTITION BY sub, pid ORDER BY d ASC, cent_id ASC) AS rn FROM es) "
-        "WHERE rn = 1)",
+        f"FROM {pfx}subs p JOIN {fin} c ON c.sub = p.sub)",
+        f"{pfx}es AS (SELECT sub, pid, cent_id, "
+        f"round(sum((x-y)*(x-y)), 6) AS d "
+        f"FROM {pfx}ep GROUP BY sub, pid, cent_id)",
+        f"{pfx}codes AS MATERIALIZED (SELECT sub, pid AS neighbor_id, "
+        f"cent_id AS code FROM (SELECT sub, pid, cent_id, row_number() OVER "
+        f"(PARTITION BY sub, pid ORDER BY d ASC, cent_id ASC) AS rn "
+        f"FROM {pfx}es) WHERE rn = 1)",
     ]
     return ctes
 
@@ -2537,6 +2566,69 @@ def oracle_sql() -> dict[str, str]:
         "WITH "
         + ", ".join(pq_ctes)
         + " SELECT neighbor_id AS vec_id, sub, code FROM codes"
+    )
+    # IVFADC: coarse m=1 chain (c_) -> residuals -> residual PQ chain (r_)
+    # -> per-(query, probed cell) residual distance table -> one equi-join
+    # on (cell, sub, code) = probe restriction + ADC lookup at once
+    sqls["knn_ivfpq_top5"] = (
+        "WITH "
+        + ", ".join(
+            _pq_ctes(1, 4, 2, 64, pfx="c_")
+            + [
+                "icells AS (SELECT neighbor_id AS vec_id, code AS cell "
+                "FROM c_codes)",
+                "resid AS MATERIALIZED (SELECT vec_id, cell, "
+                "list(ex - cy ORDER BY dim) AS rvec FROM (SELECT e.vec_id, "
+                "ce.cell, generate_subscripts(e.embedding, 1) AS dim, "
+                "CAST(unnest(e.embedding) AS DOUBLE) AS ex, "
+                "unnest(c.cvec) AS cy FROM embeddings e "
+                "JOIN icells ce ON ce.vec_id = e.vec_id "
+                "JOIN c_b2 c ON c.cent_id = ce.cell) GROUP BY vec_id, cell)",
+            ]
+            + _pq_ctes(4, 8, 2, 64, src="resid", vcol="rvec", pfx="r_")
+            + [
+                "qp0 AS (SELECT e.vec_id AS query_id, c.cent_id, "
+                "CAST(unnest(e.embedding) AS DOUBLE) AS x, "
+                "unnest(c.cvec) AS y FROM embeddings e, c_b2 c "
+                "WHERE e.vec_id < 3)",
+                "qs0 AS (SELECT query_id, cent_id, "
+                "round(sum((x-y)*(x-y)), 6) AS d FROM qp0 "
+                "GROUP BY query_id, cent_id)",
+                "iprobe AS (SELECT query_id, cell FROM (SELECT query_id, "
+                "cent_id AS cell, row_number() OVER (PARTITION BY query_id "
+                "ORDER BY d ASC, cent_id ASC) AS rn FROM qs0) WHERE rn <= 2)",
+                "qres AS MATERIALIZED (SELECT query_id, cell, "
+                "list(ex - cy ORDER BY dim) AS rqvec FROM (SELECT "
+                "p.query_id, p.cell, generate_subscripts(e.embedding, 1) "
+                "AS dim, CAST(unnest(e.embedding) AS DOUBLE) AS ex, "
+                "unnest(c.cvec) AS cy FROM iprobe p "
+                "JOIN embeddings e ON e.vec_id = p.query_id "
+                "JOIN c_b2 c ON c.cent_id = p.cell) "
+                "GROUP BY query_id, cell)",
+                "qrs AS (SELECT query_id, cell, s.sub, "
+                "rqvec[s.sub*16+1 : s.sub*16+16] AS pvec FROM qres, "
+                "(VALUES (0), (1), (2), (3)) s(sub))",
+                "dp AS (SELECT q.query_id, q.cell, q.sub, "
+                "c.cent_id AS code, unnest(q.pvec) AS x, "
+                "unnest(c.cvec) AS y FROM qrs q "
+                "JOIN r_b2 c ON c.sub = q.sub)",
+                "dtab AS (SELECT query_id, cell, sub, code, "
+                "round(sum((x-y)*(x-y)), 6) AS d FROM dp "
+                "GROUP BY query_id, cell, sub, code)",
+                "candc AS (SELECT r.neighbor_id, ce.cell, r.sub, r.code "
+                "FROM r_codes r JOIN icells ce ON ce.vec_id = r.neighbor_id)",
+                "adc AS (SELECT t.query_id, c.neighbor_id, "
+                "round(sum(t.d), 6) AS dist FROM candc c JOIN dtab t "
+                "ON t.cell = c.cell AND t.sub = c.sub AND t.code = c.code "
+                "WHERE t.query_id != c.neighbor_id "
+                "GROUP BY t.query_id, c.neighbor_id)",
+                "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+                "(PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) "
+                "AS knn_rank FROM adc)",
+            ]
+        )
+        + " SELECT query_id, neighbor_id, knn_rank FROM ranked "
+        "WHERE knn_rank <= 5"
     )
     sqls["text_token_stats"] = (
         "WITH base AS (SELECT doc_id, text, length(text) AS n_chars_m, "

@@ -384,20 +384,25 @@ def build_ivf_index(
     return int(num_centroids)
 
 
-def _subvectors(
-    df: DataFrame, id_alias: str, vec_col: str, m: int, dim: int
-) -> DataFrame:
-    """(id_alias, sub, pvec) — each vector split into ``m`` contiguous
-    subvectors of dim/m components (1-based F.slice; the DuckDB twin uses
-    the identical ``embedding[s*dsub+1 : s*dsub+dsub]`` list slice)."""
+def _slice_array(vec_col: str, m: int, dim: int) -> F.Column:
+    """array of ``m`` contiguous subvectors of dim/m components (1-based
+    F.slice; the DuckDB twin uses the identical
+    ``embedding[s*dsub+1 : s*dsub+dsub]`` list slice)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    slices = F.array(
+    return F.array(
         *[F.slice(F.col(vec_col), s * dsub + 1, dsub) for s in range(m)]
     )
+
+
+def _subvectors(
+    df: DataFrame, id_alias: str, vec_col: str, m: int, dim: int
+) -> DataFrame:
+    """(id_alias, sub, pvec) — each vector split into ``m`` subvectors."""
     return df.select(
-        F.col(id_alias), F.posexplode(slices).alias("sub", "pvec")
+        F.col(id_alias),
+        F.posexplode(_slice_array(vec_col, m, dim)).alias("sub", "pvec"),
     )
 
 
@@ -443,9 +448,13 @@ def pq_codebooks(
     constant; training shuffles n·dim (sub, cell, dim, val) rows per
     iteration — linear, identical shape to one IVF update pass.
     """
+    # the subvector explode feeds every training iteration (2x each) plus
+    # the final assignment — cache it for the loop, drop it after the
+    # (tiny: m*ksub rows) trained book is eagerly checkpointed, which also
+    # truncates the iters-deep lineage for downstream consumers
     subs = _subvectors(
         vecs.select(F.col(id_col).alias("pid"), vec_col), "pid", vec_col, m, dim
-    )
+    ).persist()
     seeds = vecs.select(F.col(id_col).alias("pid")).orderBy("pid").limit(ksub)
     books = subs.join(F.broadcast(seeds), "pid").select(
         "sub",
@@ -466,6 +475,8 @@ def pq_codebooks(
                 "sub", "cent_id", F.transform("dm", lambda s: s["mval"]).alias("cvec")
             )
         )
+    books = books.localCheckpoint()
+    subs.unpersist()
     return books
 
 
@@ -531,6 +542,120 @@ def knn_pq(
     )
     scored = (
         codes.join(F.broadcast(dtab), ["sub", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
+
+
+def knn_ivfpq(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_cells: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    kmeans_iters: int = 2,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — the canonical billion-scale ANN layout (Jégou et al. 2011,
+    §IV; what FAISS calls IVFx,PQy): a coarse L2 k-means splits the corpus
+    into ``num_cells`` inverted lists, every vector stores only the PQ
+    codes of its RESIDUAL (v − cell centroid), and a query scans just its
+    ``nprobe`` nearest cells, ranking by asymmetric distance between ITS
+    residual per probed cell and the candidates' codewords.
+
+    Composition of existing pieces, all engine-deterministic:
+    - coarse quantizer = ``pq_codebooks(m=1, ksub=num_cells)`` — a whole-
+      vector L2 Lloyd k-means (seeds = smallest ids, rounded-L2 ties →
+      smaller cent_id, 6-dp means);
+    - residuals = exact IEEE double subtraction v − centroid (no rounding
+      needed: both engines subtract identical doubles);
+    - one shared PQ codebook set trained on the residuals.
+
+    The probe restriction AND the ADC table lookup are ONE equi-join on
+    (cell, sub, code): a candidate appears iff its cell is probed, and
+    then contributes exactly its m codeword distances. No cartesian
+    product, no raw-vector scan at query time — at 10^10 vectors the
+    per-query work is |probed cells| × m × ksub table entries plus a
+    hash join against the (int, int, int) code list.
+
+    Output: (query_id, neighbor_id, dist, knn_rank), rank ascending by
+    rounded distance, ties by neighbor_id.
+    """
+    coarse = pq_codebooks(
+        vecs, 1, num_cells, kmeans_iters, dim, id_col, vec_col
+    )
+    # train-once artifacts, each consumed by 2+ downstream branches of the
+    # final query plan — eager checkpoints compute them exactly once and
+    # keep the double-k-means lineage out of the serving join
+    cells = pq_encode(vecs, coarse, 1, dim, id_col, vec_col).select(
+        F.col(id_col), F.col("code").alias("cell")
+    ).localCheckpoint()
+    cc = coarse.select(F.col("cent_id").alias("cell"), F.col("cvec").alias("ccvec"))
+    resid = (
+        vecs.join(cells, id_col)
+        .join(F.broadcast(cc), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.zip_with(
+                F.col(vec_col), F.col("ccvec"), lambda x, y: x.cast("double") - y
+            ).alias("rvec"),
+        )
+    ).localCheckpoint()
+    books = pq_codebooks(resid, m, ksub, kmeans_iters, dim, id_col, "rvec")
+    codes = pq_encode(resid, books, m, dim, id_col, "rvec")
+
+    # query probes its nprobe nearest coarse cells by rounded L2
+    qscore = queries.select("query_id", "qvec").join(F.broadcast(coarse)).select(
+        "query_id",
+        "cent_id",
+        F.round(l2sq("qvec", "cvec"), 6).alias("d"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cent_id"))
+    probe = (
+        qscore.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    qres = (
+        queries.select("query_id", "qvec")
+        .join(probe, "query_id")
+        .join(F.broadcast(cc), "cell")
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("qvec"), F.col("ccvec"), lambda x, y: x.cast("double") - y
+            ).alias("rqvec"),
+        )
+    )
+    qrsubs = qres.select(
+        "query_id", "cell", F.posexplode(_slice_array("rqvec", m, dim)).alias("sub", "pvec")
+    )
+    dtab = qrsubs.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        F.col("cent_id").alias("code"),
+        F.round(l2sq("pvec", "cvec"), 6).alias("d"),
+    )
+    cand = codes.select(
+        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    ).join(
+        cells.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
+    )
+    scored = (
+        cand.join(F.broadcast(dtab), ["cell", "sub", "code"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("d"), 6).alias("dist"))

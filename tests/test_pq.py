@@ -18,6 +18,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from ps_projekt_pagerank_spark.operators.similarity import (
+    knn_ivfpq,
     knn_pq,
     pq_codebooks,
     pq_encode,
@@ -89,6 +90,62 @@ def test_pq_dim_not_divisible_raises(spark):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_ivfpq_candidates_restricted_to_probed_cells(spark):
+    """IVFADC must never score a vector outside the query's nprobe nearest
+    coarse cells — recompute the cell assignment with the same primitives
+    and check the returned neighbors' cells against the probed set."""
+    vecs = _vecs(spark)
+    queries = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = knn_ivfpq(vecs, queries, k=100, num_cells=4, m=4, ksub=8,
+                    kmeans_iters=2, nprobe=2, dim=64).collect()
+    coarse = pq_codebooks(vecs, m=1, ksub=4, kmeans_iters=2, dim=64)
+    cell_of = {
+        r["vec_id"]: r["code"]
+        for r in pq_encode(vecs, coarse, m=1, dim=64).collect()
+    }
+    probed = {}
+    for r in out:
+        probed.setdefault(r["query_id"], set()).add(cell_of[r["neighbor_id"]])
+    # nprobe=2: neighbors span at most 2 distinct cells per query
+    assert all(len(cells) <= 2 for cells in probed.values())
+
+
+def test_ivfpq_single_cell_clone_minimal(spark):
+    """With num_cells=1 IVFADC degenerates to PQ over global-centroid
+    residuals, so the clone-minimal-ADC theorem applies globally."""
+    vecs = _vecs(spark)
+    clone = vecs.where(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(9999)
+    )
+    corpus = vecs.unionByName(clone)
+    queries = vecs.where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = knn_ivfpq(corpus, queries, k=1000, num_cells=1, m=4, ksub=8,
+                    kmeans_iters=2, nprobe=1, dim=64).collect()
+    dists = {r["neighbor_id"]: r["dist"] for r in out}
+    assert dists[9999] == min(dists.values())
+
+
+def test_ivfpq_deterministic(spark):
+    vecs = _vecs(spark)
+    queries = vecs.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    runs = [
+        sorted(
+            (r["query_id"], r["knn_rank"], r["neighbor_id"], r["dist"])
+            for r in knn_ivfpq(vecs, queries, k=5, num_cells=4, m=4,
+                               ksub=8, kmeans_iters=2, nprobe=2,
+                               dim=64).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1] and len(runs[0]) == 10
 
 
 def test_pq_deterministic(spark):
