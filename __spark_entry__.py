@@ -433,6 +433,30 @@ def _q_anchor_search(spark, sf_dir):
     )
 
 
+def _q_anchor_bm25(spark, sf_dir):
+    # BM25 over a vocabulary-rich synthetic anchor set: a per-doc rare
+    # term t{doc_id % 97} (df ~ 2% of targets -> positive idf_bits) plus
+    # the doc's first two text tokens (common terms -> idf_bits 0, the
+    # stopword-suppression path) — the x/y anchor fixture is degenerate
+    # for idf, so BM25 gets its own
+    from ps_projekt_pagerank_spark.sources.extraction import anchor_bm25
+
+    docs = D.documents(spark, sf_dir)
+    anchors = docs.select(
+        F.lit("s").alias("src_url"),
+        F.concat(
+            F.lit("u"), (F.col("doc_id") * 7 % 211).cast("string")
+        ).alias("dst_url"),
+        F.concat(
+            F.lit("t"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(" "),
+            F.array_join(F.slice(F.split("text", " "), 1, 2), " "),
+        ).alias("anchor"),
+    )
+    return anchor_bm25(anchors, ["t13", "t42", "join"], k=10)
+
+
 def _q_events_trending(spark, sf_dir):
     from ps_projekt_pagerank_spark.streaming.events import (
         trending_event_types,
@@ -1361,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trending": _q_events_trending,
         "s4_anchor_postings": _q_anchor_postings,
         "s4_anchor_search": _q_anchor_search,
+        "s4_anchor_bm25": _q_anchor_bm25,
         "url_redirects_resolved": _q_resolve_redirects,
         "url_crawl_schedule": _q_crawl_schedule,
         "dedup_chunk_stats": _q_chunk_dup_stats,
@@ -2910,6 +2935,43 @@ def oracle_sql() -> dict[str, str]:
         "SELECT dst_url, score, n_terms_hit FROM hits "
         "ORDER BY printf('%019d', 1000000000000000000 - score) || '#' || "
         "dst_url LIMIT 10"
+    )
+    # BM25 twin: idf via the integer bin-length chain, saturation factor
+    # as the identical IEEE expression; every float constant CAST AS
+    # DOUBLE (bare literals parse as DECIMAL in DuckDB), k1+1 injected
+    # via repr() so both engines share the exact double
+    _k1, _b = 1.2, 0.75
+    _BM25_ANCH = (
+        "SELECT 'u' || (doc_id * 7 % 211)::VARCHAR AS dst_url, "
+        "'t' || (doc_id % 97)::VARCHAR || ' ' || "
+        "array_to_string(string_split(text, ' ')[1:2], ' ') AS anchor "
+        "FROM documents"
+    )
+    sqls["s4_anchor_bm25"] = (
+        f"WITH anch AS ({_BM25_ANCH}), "
+        "a AS (SELECT dst_url, unnest(string_split(lower(anchor), ' ')) "
+        "AS term FROM anch), "
+        "a2 AS (SELECT dst_url, term FROM a WHERE term <> ''), "
+        "tf AS (SELECT term, dst_url, count(*) AS tf FROM a2 "
+        "GROUP BY term, dst_url), "
+        "dfq AS (SELECT term, count(*) AS df_term FROM tf GROUP BY term), "
+        "dlt AS (SELECT dst_url, CAST(sum(tf) AS BIGINT) AS dl FROM tf "
+        "GROUP BY dst_url), "
+        "st AS (SELECT count(DISTINCT dst_url) AS n_docs, "
+        "CAST(sum(tf) AS BIGINT) AS total_terms FROM tf), "
+        "hits AS (SELECT t.dst_url, t.tf, q.df_term, d.dl, s.n_docs, "
+        "s.total_terms FROM tf t JOIN dfq q ON q.term = t.term "
+        "JOIN dlt d ON d.dst_url = t.dst_url CROSS JOIN st s "
+        "WHERE t.term IN ('join', 't13', 't42')), "
+        "sc AS (SELECT dst_url, round(sum("
+        "CAST(length(bin(n_docs // df_term)) - 1 AS DOUBLE) * "
+        f"((tf * CAST({_k1 + 1.0!r} AS DOUBLE)) / "
+        f"(tf + CAST({_k1!r} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - "
+        f"CAST({_b!r} AS DOUBLE) + CAST({_b!r} AS DOUBLE) * "
+        "(dl / (total_terms / n_docs)))))), 6) AS bm25, "
+        "count(*) AS n_terms_hit FROM hits GROUP BY dst_url) "
+        "SELECT dst_url, bm25, n_terms_hit FROM sc "
+        "ORDER BY bm25 DESC, dst_url ASC LIMIT 10"
     )
     from ps_projekt_pagerank_spark.functions.urls import (
         resolve_redirects_sql,

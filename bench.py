@@ -271,6 +271,47 @@ def run_suite(spark, sf_dir):
         "kmeans_iters": 2,
     }
 
+    # compressed-corpus ANN (round 4): PQ ADC and IVFADC serving paths.
+    # Recall on these SYNTHETIC near-uniform embeddings is the PQ
+    # worst case (no cluster structure — quantization error dominates, see
+    # test_pq.py docstring), so it is recorded as an honest floor, not
+    # graded against the IVF bar; the timed numbers are the point — the
+    # corpus is scanned as (int, int) codes, never as raw floats
+    from ps_projekt_pagerank_spark.operators.similarity import (
+        knn_ivfpq,
+        knn_pq,
+    )
+
+    timed("knn_pq", lambda: knn_pq(vecs, queries, 5, dim=64).count())
+    timed(
+        "knn_ivfpq",
+        lambda: knn_ivfpq(
+            vecs, queries, 5, num_cells=ivf_k, nprobe=ivf_np, dim=64
+        ).count(),
+    )
+    pq_approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_pq(vecs, rq, 5, dim=64).collect()
+    }
+    ivfpq_approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivfpq(
+            vecs, rq, 5, num_cells=ivf_k, nprobe=ivf_np, dim=64
+        ).collect()
+    }
+    extras["knn_pq"] = {
+        "recall_at_5": round(len(pq_approx & exact) / max(len(exact), 1), 3),
+        "ivfpq_recall_at_5": round(
+            len(ivfpq_approx & exact) / max(len(exact), 1), 3
+        ),
+        "recall_queries": 16,
+        "m": 4,
+        "ksub": 8,
+        "num_cells": ivf_k,
+        "nprobe": ivf_np,
+        "uniform_worst_case": True,
+    }
+
     # incremental re-rank (streaming/crawl.py's payoff): after a ~1% edge
     # delta, warm-starting from the previous converged ranks vs a cold
     # 1/N start on the same updated graph — the cross-run amortization a

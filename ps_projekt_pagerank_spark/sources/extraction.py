@@ -237,6 +237,61 @@ def anchor_search(
     return topk.select("dst_url", "score", "n_terms_hit")
 
 
+def anchor_bm25(
+    anchors: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(dst_url, bm25, n_terms_hit) — Okapi BM25 over the anchor-text
+    index: the standard web-search ranking where each page's "document"
+    is the concatenation of all anchor text pointing AT it.
+
+    Engine-exact scoring without floating logs (the tfidf/surprisal
+    trick): idf = idf_bits = floor(log2(n_docs / df)) via the integer
+    bin-length chain, and the tf-saturation factor
+    ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` is ONE fixed IEEE
+    expression over exact BIGINT inputs (tf, dl, n_docs, total_terms) and
+    shared double literals — both engines produce bit-identical doubles,
+    and the per-term sum is rounded 6 dp (the repo-wide float-agg
+    contract). Terms in more than half the targets get idf 0 — the same
+    stopword suppression tfidf_top_terms applies.
+
+    Scale: postings filtered to the |query| terms FIRST; dl and the two
+    corpus scalars are hash aggs over the postings; the final rank is a
+    TakeOrderedAndProject top-k, never a global sort materialization.
+    """
+    if not query_terms:
+        raise ValueError("anchor_bm25 needs >= 1 query term")
+    qt = sorted({t.lower() for t in query_terms})
+    k1p1 = k1 + 1.0
+    postings = anchor_postings(anchors)
+    dl = postings.groupBy("dst_url").agg(F.sum("tf").alias("dl"))
+    stats = postings.agg(
+        F.countDistinct("dst_url").alias("n_docs"),
+        F.sum("tf").alias("total_terms"),
+    )
+    hits = (
+        postings.where(F.col("term").isin(qt))
+        .join(dl, "dst_url")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = (
+        F.length(F.bin(F.expr("n_docs div df_term"))) - 1
+    ).cast("double")
+    avgdl = F.col("total_terms") / F.col("n_docs")
+    sat = (F.col("tf") * F.lit(k1p1)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    scored = hits.groupBy("dst_url").agg(
+        F.round(F.sum(idf * sat), 6).alias("bm25"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("dst_url")).limit(int(k))
+
+
 def latest_capture(pages):
     """The newest capture per url — Common Crawl ships multiple WARC
     captures of the same page across crawls; everything downstream
