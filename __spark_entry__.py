@@ -433,6 +433,17 @@ def _q_anchor_search(spark, sf_dir):
     )
 
 
+def _q_skipgram_pairs(spark, sf_dir):
+    # DeepWalk = random_walks ∘ skip-gram: pair counts over the SAME
+    # md5-deterministic walk corpus smp_random_walks gates
+    from ps_projekt_pagerank_spark.operators.sampling import skipgram_pairs
+
+    return skipgram_pairs(
+        random_walks(D.sparse_edges(spark, sf_dir), walk_length=4),
+        window=2,
+    )
+
+
 def _q_anchor_bm25(spark, sf_dir):
     # BM25 over a vocabulary-rich synthetic anchor set: a per-doc rare
     # term t{doc_id % 97} (df ~ 2% of targets -> positive idf_bits) plus
@@ -1386,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_anchor_postings": _q_anchor_postings,
         "s4_anchor_search": _q_anchor_search,
         "s4_anchor_bm25": _q_anchor_bm25,
+        "walk_skipgrams": _q_skipgram_pairs,
         "url_redirects_resolved": _q_resolve_redirects,
         "url_crawl_schedule": _q_crawl_schedule,
         "dedup_chunk_stats": _q_chunk_dup_stats,
@@ -1667,10 +1679,11 @@ def _cocite_sql(
     )
 
 
-def _walks_sql(edges_sql: str, walk_length: int) -> str:
-    """Twin of sampling.random_walks (walks_per_node=1): per step the next
-    hop is arg_min over md5(walk_id#step#dst) — identical hex in both
-    engines; sinks drop out of the frontier so walks truncate early."""
+def _walks_steps_ctes(edges_sql: str, walk_length: int) -> tuple[list[str], str]:
+    """The shared step chain of sampling.random_walks (walks_per_node=1):
+    per step the next hop is arg_min over md5(walk_id#step#dst) —
+    identical hex in both engines; sinks drop out of the frontier so
+    walks truncate early. Returns (ctes, union_of_step_rows)."""
     parts = [
         f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
@@ -1690,11 +1703,31 @@ def _walks_sql(edges_sql: str, walk_length: int) -> str:
     union = " UNION ALL ".join(
         f"SELECT * FROM s{k}" for k in range(walk_length + 1)
     )
+    return parts, union
+
+
+def _walks_sql(edges_sql: str, walk_length: int) -> str:
+    """Twin of sampling.random_walks collapsed to '-'-joined paths."""
+    parts, union = _walks_steps_ctes(edges_sql, walk_length)
     return (
         "WITH " + ", ".join(parts) + f", steps AS ({union}) "
         "SELECT walk_id, arg_min(node, step) AS start, "
         "string_agg(node::VARCHAR, '-' ORDER BY step) AS path "
         "FROM steps GROUP BY walk_id"
+    )
+
+
+def _skipgrams_sql(edges_sql: str, walk_length: int, window: int) -> str:
+    """Twin of sampling.skipgram_pairs over the same walk corpus."""
+    parts, union = _walks_steps_ctes(edges_sql, walk_length)
+    return (
+        "WITH " + ", ".join(parts)
+        + f", steps AS MATERIALIZED ({union}) "
+        "SELECT center, context, count(*) AS n_pairs FROM "
+        "(SELECT a.node AS center, b.node AS context FROM steps a "
+        "JOIN steps b ON a.walk_id = b.walk_id "
+        f"WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}) "
+        "GROUP BY center, context"
     )
 
 
@@ -2936,6 +2969,8 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY printf('%019d', 1000000000000000000 - score) || '#' || "
         "dst_url LIMIT 10"
     )
+    # DeepWalk skip-gram pairs over the smp_random_walks corpus
+    sqls["walk_skipgrams"] = _skipgrams_sql(_SPARSE, walk_length=4, window=2)
     # BM25 twin: idf via the integer bin-length chain, saturation factor
     # as the identical IEEE expression; every float constant CAST AS
     # DOUBLE (bare literals parse as DECIMAL in DuckDB), k1+1 injected

@@ -105,6 +105,39 @@ def random_walks(
     return out
 
 
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_pairs) — the word2vec-style training artifact
+    over a ``random_walks`` corpus: co-occurrence counts of nodes within
+    ``window`` positions on the same walk (the input SGNS / GloVe-style
+    embedding training consumes; DeepWalk = random_walks ∘ skip-gram,
+    Perozzi et al. KDD 2014 §4). Symmetric window (center earlier or later
+    both emit, as in word2vec), self-positions excluded.
+
+    Scale: posexplode the walk arrays, self-equi-join on walk_id (walks
+    are short — fan-out ≤ walk_length·2·window per walk), one hash agg.
+    """
+    if window < 1:
+        raise ValueError("window >= 1")
+    steps = walks.select(
+        "walk_id", F.posexplode("walk").alias("step", "node")
+    )
+    a = steps.select(
+        "walk_id", F.col("step").alias("s1"), F.col("node").alias("center")
+    )
+    b = steps.select(
+        "walk_id", F.col("step").alias("s2"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("s1") != F.col("s2"))
+            & (F.abs(F.col("s1") - F.col("s2")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def ego_network(
     edges: DataFrame,
     seeds: list[int],

@@ -59,6 +59,46 @@ def test_random_walks_start_column_consistent(spark):
         assert r["walk_id"] == r["start"]  # walks_per_node=1
 
 
+def test_skipgram_pairs_match_python(spark):
+    from ps_projekt_pagerank_spark.operators.sampling import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    e = spark.createDataFrame(EDGES, "src LONG, dst LONG")
+    walks = _py_walks(EDGES, 4, 1)
+    want = {}
+    for walk in walks.values():
+        for i, c in enumerate(walk):
+            for j, x in enumerate(walk):
+                if i != j and abs(i - j) <= 2:
+                    want[(c, x)] = want.get((c, x), 0) + 1
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(
+            random_walks(e, walk_length=4), window=2
+        ).collect()
+    }
+    assert got == want
+    # symmetric window: pair counts are symmetric
+    assert all(got[(a, b)] == got[(b, a)] for a, b in got)
+
+
+def test_skipgram_pairs_window_validates(spark):
+    from ps_projekt_pagerank_spark.operators.sampling import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    e = spark.createDataFrame(EDGES, "src LONG, dst LONG")
+    try:
+        skipgram_pairs(random_walks(e, walk_length=2), window=0)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
 def test_ego_network_hops(spark):
     from ps_projekt_pagerank_spark.operators.sampling import ego_network
 
