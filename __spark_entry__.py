@@ -433,6 +433,12 @@ def _q_anchor_search(spark, sf_dir):
     )
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    # cluster-keyed train/test split over the planted-duplicate corpus —
+    # near-dups never straddle the boundary
+    return dd.leakage_safe_split(_docs_with_dups(spark, sf_dir), test_frac=0.2)
+
+
 def _q_skipgram_pairs(spark, sf_dir):
     # DeepWalk = random_walks ∘ skip-gram: pair counts over the SAME
     # md5-deterministic walk corpus smp_random_walks gates
@@ -1398,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_anchor_search": _q_anchor_search,
         "s4_anchor_bm25": _q_anchor_bm25,
         "walk_skipgrams": _q_skipgram_pairs,
+        "dedup_leakage_safe_split": _q_leakage_safe_split,
         "url_redirects_resolved": _q_resolve_redirects,
         "url_crawl_schedule": _q_crawl_schedule,
         "dedup_chunk_stats": _q_chunk_dup_stats,
@@ -2857,6 +2864,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["smp_random_walks"] = _walks_sql(_SPARSE, walk_length=4)
     sqls["smp_ego_network"] = _ego_sql(_SPARSE, _EGO_SEEDS, hops=2)
     sqls["dedup_clusters"] = _dedup_clusters_sql()
+    # cluster-keyed md5-uniform split over the same closure; hex->int via
+    # CAST('0x'||… AS BIGINT) == Spark conv(…,16,10), /2^32 a pure
+    # exponent shift so the < compare is engine-exact
+    sqls["dedup_leakage_safe_split"] = (
+        "SELECT doc_id, cluster_id, is_duplicate, CASE WHEN "
+        "CAST('0x' || substr(md5(cluster_id::VARCHAR || '#split'), 1, 8) "
+        "AS BIGINT) / CAST(4294967296.0 AS DOUBLE) < "
+        f"CAST({0.2!r} AS DOUBLE) THEN 'test' ELSE 'train' END AS split "
+        f"FROM ({_dedup_clusters_sql()})"
+    )
     sqls["tri_clustering_coef"] = (
         f"WITH e AS (SELECT DISTINCT least(src, dst) AS a, "
         f"greatest(src, dst) AS b FROM ({_SPARSE}) WHERE src <> dst), "

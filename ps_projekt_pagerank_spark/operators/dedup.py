@@ -505,6 +505,45 @@ def dedup_clusters(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    test_frac: float = 0.1,
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """(doc_id, cluster_id, is_duplicate, split) — train/test split BY
+    DEDUP CLUSTER: every member of a near-duplicate cluster lands on the
+    same side, so a near-copy of a test document can never leak into
+    training. This is the remediation op to what benchmark_contamination
+    DETECTS — splitting by raw doc_id (the naive approach) puts ~half of
+    each duplicate cluster's members across the boundary.
+
+    The draw is the md5-uniform of the CLUSTER id (the stratified_sample
+    trick: first 8 md5 hex chars → a 32-bit int, exact in doubles), so
+    the split is deterministic, engine-replayable, and independent of
+    corpus order or partitioning.
+
+    Scale: dedup_clusters' candidate-pair closure plus one narrow
+    projection — no extra shuffle beyond the clustering itself.
+    """
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError("test_frac in [0, 1]")
+    clusters = dedup_clusters(docs, text_col, pairs)
+    key = F.concat_ws("#", F.col("cluster_id").cast("string"), F.lit(salt))
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        float(2**32)
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        "is_duplicate",
+        F.when(u < F.lit(float(test_frac)), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def dedup_survivors(
     docs: DataFrame,
     quality_col: str,

@@ -120,3 +120,42 @@ def test_dedup_clusters_accepts_custom_pairs(spark):
         for r in dedup_clusters(docs, pairs=pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    import hashlib
+
+    from ps_projekt_pagerank_spark.operators.dedup import leakage_safe_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" tail{i // 4}") for i in range(40)]  # dup groups of 4
+    rows += [(100 + i, f"unique document number {i} about topic {i * 7}")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = leakage_safe_split(docs, test_frac=0.3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # the leakage guarantee: one side per cluster
+    assert all(len(sides) == 1 for sides in by_cluster.values())
+    # the draw replays the documented md5-uniform exactly
+    for r in out:
+        u = int(
+            hashlib.md5(f"{r['cluster_id']}#split".encode()).hexdigest()[:8],
+            16,
+        ) / 2**32
+        assert r["split"] == ("test" if u < 0.3 else "train")
+    # both sides are populated at this corpus size
+    assert {r["split"] for r in out} == {"test", "train"}
+
+
+def test_leakage_safe_split_validates_frac(spark):
+    from ps_projekt_pagerank_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    try:
+        leakage_safe_split(docs, test_frac=1.5)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
