@@ -322,6 +322,13 @@ def _q_lm_surprisal(spark, sf_dir):
     )
 
 
+def _q_perplexity_buckets(spark, sf_dir):
+    # CCNet head/middle/tail tiers at the exact corpus surprisal terciles
+    return tx.perplexity_buckets(
+        D.documents(spark, sf_dir).select("doc_id", "text")
+    )
+
+
 def _q_tfidf_top5(spark, sf_dir):
     return tx.tfidf_top_terms(
         D.documents(spark, sf_dir).select("doc_id", "text"), k=5
@@ -1412,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _q_quantize_embeddings,
         "emb_cluster_stats": _q_cluster_stats,
         "text_lm_surprisal": _q_lm_surprisal,
+        "text_perplexity_buckets": _q_perplexity_buckets,
         "text_lm_bigram_surprisal": _q_lm_bigram_surprisal,
         "text_tfidf_top5": _q_tfidf_top5,
         "e2e_corpus_filter": _q_corpus_pipeline,
@@ -2404,6 +2412,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text FROM documents"
     )
     sqls["text_lm_bigram_surprisal"] = tx.lm_bigram_surprisal_sql(
+        "SELECT doc_id, text FROM documents"
+    )
+    sqls["text_perplexity_buckets"] = tx.perplexity_buckets_sql(
         "SELECT doc_id, text FROM documents"
     )
     sqls["text_tfidf_top5"] = tx.tfidf_top_terms_sql(

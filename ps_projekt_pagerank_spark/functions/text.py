@@ -256,6 +256,72 @@ def lm_surprisal_sql(docs_sql: str) -> str:
     )
 
 
+def perplexity_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, bits_per_token, bucket) — CCNet-style quality
+    tiers (Wenzek et al., LREC 2020 §4.3: documents sorted by LM
+    perplexity, corpus cut into head/middle/tail thirds; head = least
+    surprising = closest to the reference LM). The LM here is the
+    corpus-own unigram model of ``lm_surprisal_stats`` (the
+    no-floating-log bits_per_token chain) and the cuts are the EXACT 1/3
+    and 2/3 quantiles (operators.quantiles.exact_quantiles — distributed
+    numbering, engine-identical rank arithmetic).
+
+    Ties at a threshold all fall to the lower bucket (<=), so bucket
+    sizes can deviate from n/3 on tie-heavy corpora — deterministic in
+    both engines either way. Zero-token documents are excluded (their
+    surprisal is undefined).
+
+    Scale: the surprisal aggs + one count + the two-row quantile probe
+    broadcast back over the stats — nothing wider than lm_surprisal_stats
+    itself.
+    """
+    from ..operators.quantiles import exact_quantiles
+
+    stats = lm_surprisal_stats(docs, text_col).where(F.col("n_tokens") > 0)
+    th = exact_quantiles(
+        stats, "bits_per_token", [1 / 3, 2 / 3], key_col="doc_id"
+    )
+    t = th.agg(
+        F.min(F.when(F.col("q") < 0.5, F.col("value"))).alias("t1"),
+        F.min(F.when(F.col("q") > 0.5, F.col("value"))).alias("t2"),
+    )
+    return stats.crossJoin(F.broadcast(t)).select(
+        "doc_id",
+        "n_tokens",
+        "bits_per_token",
+        F.when(F.col("bits_per_token") <= F.col("t1"), F.lit("head"))
+        .when(F.col("bits_per_token") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def perplexity_buckets_sql(docs_sql: str) -> str:
+    """DuckDB twin — the surprisal chain, the identical ceil(q·n) rank
+    probe (sequential row_number stands in for global_positions), and the
+    same <= threshold CASE."""
+    t1q, t2q = float(1 / 3), float(2 / 3)
+    return (
+        f"WITH st0 AS MATERIALIZED ({lm_surprisal_sql(docs_sql)}), "
+        "st AS (SELECT doc_id, n_tokens, bits_per_token FROM st0 "
+        "WHERE n_tokens > 0), "
+        "nn AS (SELECT count(*) AS n FROM st), "
+        f"qs(q) AS (VALUES (CAST({t1q!r} AS DOUBLE)), "
+        f"(CAST({t2q!r} AS DOUBLE))), "
+        "probe AS (SELECT q, greatest(1, CAST(ceil(q * nn.n) AS BIGINT)) "
+        "AS rank FROM qs, nn), "
+        "pos AS (SELECT bits_per_token AS value, row_number() OVER "
+        "(ORDER BY bits_per_token ASC, doc_id ASC) AS rank FROM st), "
+        "th AS (SELECT min(CASE WHEN q < CAST(0.5 AS DOUBLE) THEN value "
+        "END) AS t1, min(CASE WHEN q > CAST(0.5 AS DOUBLE) THEN value "
+        "END) AS t2 FROM probe JOIN pos ON pos.rank = probe.rank) "
+        "SELECT doc_id, n_tokens, bits_per_token, "
+        "CASE WHEN bits_per_token <= t1 THEN 'head' "
+        "WHEN bits_per_token <= t2 THEN 'middle' ELSE 'tail' END AS bucket "
+        "FROM st, th"
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", k: int = 5
 ) -> DataFrame:

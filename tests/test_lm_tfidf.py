@@ -202,3 +202,34 @@ def test_vocab_coverage(spark):
         for r in duckdb.connect().execute(sql).fetchall()
     }
     assert got == oracle
+
+
+def test_perplexity_buckets_terciles(spark):
+    from ps_projekt_pagerank_spark.functions.text import perplexity_buckets
+
+    # 9 docs with three clearly separated surprisal tiers: pure-stopword
+    # docs (head), mixed (middle), rare-token docs (tail)
+    rows = (
+        [(i, "the the the the the the") for i in range(3)]
+        + [(10 + i, "the cat sat on mat " + f"word{i}") for i in range(3)]
+        + [(20 + i, f"zeta{i} eta{i} theta{i} iota{i}") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(df).collect()}
+    assert all(got[i] == "head" for i in range(3))
+    assert all(got[10 + i] == "middle" for i in range(3))
+    assert all(got[20 + i] == "tail" for i in range(3))
+
+
+def test_perplexity_buckets_head_lower_bits_than_tail(spark):
+    from ps_projekt_pagerank_spark.functions.text import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j % (i + 1)}" for j in range(12))) for i in range(9)],
+        "doc_id LONG, text STRING",
+    )
+    rows = perplexity_buckets(docs).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["bits_per_token"])
+    assert max(by_bucket["head"]) <= min(by_bucket["tail"])
