@@ -440,6 +440,50 @@ def _q_anchor_search(spark, sf_dir):
     )
 
 
+def _robots_fixture(spark, sf_dir):
+    # per-host robots.txt: a '*' group (/p{g} disallowed except /p{g}/ok)
+    # plus a testbot group — exercises comments, group boundaries, and
+    # allow-overrides; byte-identical text in the DuckDB fixture
+    docs = D.documents(spark, sf_dir)
+    g = docs.select((F.col("doc_id") % 7).alias("g")).distinct()
+    gs = F.col("g").cast("string")
+    return g.select(
+        F.concat(F.lit("h"), gs, F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("# synthetic robots\nuser-agent: *\ndisallow: /p"),
+            gs,
+            F.lit("\nallow: /p"),
+            gs,
+            F.lit("/ok\nuser-agent: testbot\ndisallow: /q"),
+            gs,
+        ).alias("robots_txt"),
+    )
+
+
+def _q_robots_rules(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions import robots as rb
+
+    return rb.robots_rules(_robots_fixture(spark, sf_dir))
+
+
+def _q_crawl_allowed(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions import robots as rb
+
+    docs = D.documents(spark, sf_dir)
+    g = (F.col("doc_id") % 7).cast("string")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/p"), g))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/p"), g, F.lit("/ok/x")))
+        .otherwise(F.lit("/free"))
+    )
+    urls = docs.select(
+        F.concat(F.lit("http://h"), g, F.lit(".com"), suffix).alias("url")
+    ).distinct()
+    return rb.crawl_allowed(
+        urls, rb.robots_rules(_robots_fixture(spark, sf_dir)), agent="*"
+    )
+
+
 def _q_leakage_safe_split(spark, sf_dir):
     # cluster-keyed train/test split over the planted-duplicate corpus —
     # near-dups never straddle the boundary
@@ -1412,6 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_anchor_bm25": _q_anchor_bm25,
         "walk_skipgrams": _q_skipgram_pairs,
         "dedup_leakage_safe_split": _q_leakage_safe_split,
+        "url_robots_rules": _q_robots_rules,
+        "url_crawl_allowed": _q_crawl_allowed,
         "url_redirects_resolved": _q_resolve_redirects,
         "url_crawl_schedule": _q_crawl_schedule,
         "dedup_chunk_stats": _q_chunk_dup_stats,
@@ -3052,6 +3098,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT url, host, rank_in_host, "
         "CAST((rank_in_host - 1) // 2 + 1 AS INT) AS fetch_round FROM r"
     )
+    from ps_projekt_pagerank_spark.functions.robots import (
+        crawl_allowed_sql,
+        robots_rules_sql,
+    )
+
+    _ROBOTS_SQL = (
+        "SELECT 'h' || g::VARCHAR || '.com' AS host, "
+        "'# synthetic robots' || chr(10) || 'user-agent: *' || chr(10) || "
+        "'disallow: /p' || g::VARCHAR || chr(10) || "
+        "'allow: /p' || g::VARCHAR || '/ok' || chr(10) || "
+        "'user-agent: testbot' || chr(10) || 'disallow: /q' || g::VARCHAR "
+        "AS robots_txt "
+        "FROM (SELECT DISTINCT doc_id % 7 AS g FROM documents)"
+    )
+    _RURLS_SQL = (
+        "SELECT DISTINCT 'http://h' || (doc_id % 7)::VARCHAR || '.com' || "
+        "CASE WHEN doc_id % 3 = 0 THEN '/p' || (doc_id % 7)::VARCHAR "
+        "WHEN doc_id % 3 = 1 THEN '/p' || (doc_id % 7)::VARCHAR || '/ok/x' "
+        "ELSE '/free' END AS url FROM documents"
+    )
+    sqls["url_robots_rules"] = robots_rules_sql(_ROBOTS_SQL)
+    sqls["url_crawl_allowed"] = crawl_allowed_sql(_RURLS_SQL, _ROBOTS_SQL, "*")
     sqls["url_redirects_resolved"] = resolve_redirects_sql(
         "SELECT DISTINCT src, src - 1 AS dst FROM "
         "(SELECT l_orderkey % 4999 AS src FROM lineitem) "
