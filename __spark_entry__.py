@@ -322,6 +322,26 @@ def _q_lm_surprisal(spark, sf_dir):
     )
 
 
+def _q_principal_component(spark, sf_dir):
+    # power-iteration top PC of the embedding corpus (centering vector +
+    # direction) — the all-but-the-top whitening primitive
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        principal_component,
+    )
+
+    return principal_component(D.embeddings(spark, sf_dir), iters=3)
+
+
+def _q_pc_projection(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        pc_projection,
+        principal_component,
+    )
+
+    vecs = D.embeddings(spark, sf_dir)
+    return pc_projection(vecs, principal_component(vecs, iters=3))
+
+
 def _q_perplexity_buckets(spark, sf_dir):
     # CCNet head/middle/tail tiers at the exact corpus surprisal terciles
     return tx.perplexity_buckets(
@@ -1466,6 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cluster_stats": _q_cluster_stats,
         "text_lm_surprisal": _q_lm_surprisal,
         "text_perplexity_buckets": _q_perplexity_buckets,
+        "emb_principal_component": _q_principal_component,
+        "emb_pc_projection": _q_pc_projection,
         "text_lm_bigram_surprisal": _q_lm_bigram_surprisal,
         "text_tfidf_top5": _q_tfidf_top5,
         "e2e_corpus_filter": _q_corpus_pipeline,
@@ -2463,6 +2485,14 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_perplexity_buckets"] = tx.perplexity_buckets_sql(
         "SELECT doc_id, text FROM documents"
     )
+    from ps_projekt_pagerank_spark.functions.embeddings import (
+        pc_projection_sql,
+        principal_component_sql,
+    )
+
+    _ESQL = "SELECT vec_id, embedding FROM embeddings"
+    sqls["emb_principal_component"] = principal_component_sql(_ESQL, 3)
+    sqls["emb_pc_projection"] = pc_projection_sql(_ESQL, 3)
     sqls["text_tfidf_top5"] = tx.tfidf_top_terms_sql(
         "SELECT doc_id, text FROM documents", 5
     )

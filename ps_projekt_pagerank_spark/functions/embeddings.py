@@ -233,3 +233,140 @@ def embedding_outliers_sql(embeddings_sql: str, q: float = 0.9) -> str:
         "SELECT vec_id, label, dist2, dist2 > thr.t AS is_outlier "
         "FROM dist, thr"
     )
+
+
+def principal_component(
+    vecs: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dim, mean, component) — the corpus's dominant principal direction
+    by deterministic power iteration on the centered data, plus the
+    per-dimension mean (the centering vector). The embedding-pipeline
+    diagnostic/whitening primitive: dominant-direction removal
+    ("all-but-the-top", Mu & Viswanath ICLR 2018) and top-PC outlier
+    scoring both consume exactly this pair.
+
+    Determinism contract (the k-means recipe): means rounded 6 dp;
+    v₀ = all-ones; each iteration computes per-row scores
+    s_r = round(x'_r·v, 6), the new direction w_j = round(Σ_r s_r·x'_rj, 6),
+    then max-normalizes v_j = round(w_j / max|w|, 6) — every step is a
+    rounded agg both engines replay. A degenerate direction (max|w| = 0,
+    e.g. constant embeddings) keeps the previous v, mirroring
+    eigenvector_centrality's nilpotent guard.
+
+    Scale: never materializes a covariance matrix — each iteration is one
+    |n·d|-row join + two hash aggs (the classic matrix-free power step);
+    the d-row direction broadcasts.
+    """
+    ex = vecs.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("dim", "raw")
+    ).select("vid", "dim", F.col("raw").cast("double").alias("v"))
+    mu = ex.groupBy("dim").agg(F.round(F.avg("v"), 6).alias("m"))
+    cent = ex.join(F.broadcast(mu), "dim").select(
+        "vid", "dim", (F.col("v") - F.col("m")).alias("x")
+    )
+    vdir = mu.select("dim", F.lit(1.0).alias("c"))
+    for _ in range(iters):
+        s = (
+            cent.join(F.broadcast(vdir), "dim")
+            .groupBy("vid")
+            .agg(F.round(F.sum(F.col("x") * F.col("c")), 6).alias("s"))
+        )
+        w = (
+            cent.join(F.broadcast(s), "vid")
+            .groupBy("dim")
+            .agg(F.round(F.sum(F.col("s") * F.col("x")), 6).alias("w"))
+        )
+        norm = w.agg(F.max(F.abs(F.col("w"))).alias("nrm"))
+        vdir = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                "dim",
+                F.when(
+                    F.col("nrm") > 0.0,
+                    F.round(F.col("w") / F.col("nrm"), 6),
+                )
+                .otherwise(F.lit(None))
+                .alias("c"),
+            )
+            .join(vdir.select("dim", F.col("c").alias("prev")), "dim")
+            .select("dim", F.coalesce("c", "prev").alias("c"))
+        )
+    return (
+        mu.join(vdir, "dim")
+        .select("dim", F.col("m").alias("mean"), F.col("c").alias("component"))
+    )
+
+
+def pc_projection(
+    vecs: DataFrame,
+    pc: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, pc1) — each vector's scalar coordinate along the
+    ``principal_component`` direction (centered dot product, rounded
+    6 dp): the score whitening subtracts and outlier screens threshold.
+    """
+    ex = vecs.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "raw")
+    ).select(id_col, "dim", F.col("raw").cast("double").alias("v"))
+    return (
+        ex.join(F.broadcast(pc), "dim")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("mean")) * F.col("component")), 6
+            ).alias("pc1")
+        )
+    )
+
+
+def principal_component_sql(embeddings_sql: str, iters: int = 3) -> str:
+    """DuckDB twin — identical explode, rounded means, and unrolled
+    power steps (each a MATERIALIZED CTE pair)."""
+    parts = [
+        "pex0 AS (SELECT vec_id AS vid, "
+        "unnest(range(0, len(embedding))) AS dim, embedding AS emb "
+        f"FROM ({embeddings_sql}))",
+        "pex AS MATERIALIZED (SELECT vid, CAST(dim AS INT) AS dim, "
+        "CAST(emb[CAST(dim AS INT) + 1] AS DOUBLE) AS v FROM pex0)",
+        "pmu AS MATERIALIZED (SELECT dim, round(avg(v), 6) AS m FROM pex "
+        "GROUP BY dim)",
+        "pcent AS MATERIALIZED (SELECT vid, pex.dim, v - m AS x "
+        "FROM pex JOIN pmu ON pmu.dim = pex.dim)",
+        "v0 AS (SELECT dim, CAST(1.0 AS DOUBLE) AS c FROM pmu)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"ps{i} AS MATERIALIZED (SELECT vid, "
+            f"round(sum(x * c), 6) AS s FROM pcent "
+            f"JOIN v{i - 1} USING (dim) GROUP BY vid)",
+            f"pw{i} AS MATERIALIZED (SELECT dim, round(sum(s * x), 6) AS w "
+            f"FROM pcent JOIN ps{i} USING (vid) GROUP BY dim)",
+            f"v{i} AS MATERIALIZED (SELECT pw{i}.dim, CASE WHEN "
+            f"(SELECT max(abs(w)) FROM pw{i}) > 0.0 THEN "
+            f"round(w / (SELECT max(abs(w)) FROM pw{i}), 6) "
+            f"ELSE v{i - 1}.c END AS c "
+            f"FROM pw{i} JOIN v{i - 1} ON v{i - 1}.dim = pw{i}.dim)",
+        ]
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT pmu.dim, pmu.m AS mean, v{iters}.c AS component "
+        f"FROM pmu JOIN v{iters} ON v{iters}.dim = pmu.dim"
+    )
+
+
+def pc_projection_sql(embeddings_sql: str, iters: int = 3) -> str:
+    """DuckDB twin of pc_projection over principal_component_sql."""
+    return (
+        f"WITH pc AS MATERIALIZED ({principal_component_sql(embeddings_sql, iters)}), "
+        "ex0 AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim, "
+        f"embedding AS emb FROM ({embeddings_sql})), "
+        "ex AS (SELECT vec_id, CAST(dim AS INT) AS dim, "
+        "CAST(emb[CAST(dim AS INT) + 1] AS DOUBLE) AS v FROM ex0) "
+        "SELECT vec_id, round(sum((v - mean) * component), 6) AS pc1 "
+        "FROM ex JOIN pc ON pc.dim = ex.dim GROUP BY vec_id"
+    )
