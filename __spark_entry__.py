@@ -1135,6 +1135,38 @@ def _q_crawl_plan(spark, sf_dir):
     )
 
 
+def _q_crawl_plan_polite(spark, sf_dir):
+    # the crawl planner with the robots politeness stage: per host h{g},
+    # '/p{g}1'-prefixed paths are disallowed and must vanish from the
+    # schedule BEFORE rank_in_host is assigned
+    from ps_projekt_pagerank_spark.functions import robots as rb
+    from ps_projekt_pagerank_spark.operators.hostgraph import crawl_plan
+
+    edges = D.url_edges(spark, sf_dir)
+    hosts = (
+        edges.select(
+            F.regexp_extract("dst_url", rb._HOST_RE, 1).alias("host")
+        )
+        .where(F.col("host") != "")
+        .distinct()
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("user-agent: *\ndisallow: /p"),
+            F.regexp_extract("host", "^h([0-9]+)\\.test$", 1),
+            F.lit("1"),
+        ).alias("robots_txt"),
+    )
+    return crawl_plan(
+        edges,
+        total_budget=500,
+        num_iterations=4,
+        per_host_per_round=2,
+        robots=rb.robots_rules(robots),
+    )
+
+
 def _q_scc_components(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.scc import (
         strongly_connected_components,
@@ -1548,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank4": _q_host_rank4,
         "host_crawl_budget": _q_host_budget,
         "e2e_crawl_plan": _q_crawl_plan,
+        "e2e_crawl_plan_polite": _q_crawl_plan_polite,
         "g_scc_components": _q_scc_components,
         "g_bowtie_parts": _q_bowtie,
         "lp_adamic_adar": _q_adamic_adar,
@@ -3034,6 +3067,40 @@ def oracle_sql() -> dict[str, str]:
     sqls["e2e_crawl_plan"] = (
         f"SELECT s.url, s.host, s.rank_in_host, s.fetch_round, b.budget "
         f"FROM ({_CRAWL_SCHED}) s JOIN ({_CRAWL_BUDGET_500}) b "
+        "ON s.host = b.host WHERE s.rank_in_host <= b.budget"
+    )
+    # politeness variant: the frontier drops robots-disallowed urls
+    # BEFORE the per-host numbering (budget still from the full graph)
+    from ps_projekt_pagerank_spark.functions.robots import (
+        crawl_allowed_sql as _ca_sql,
+    )
+
+    _POLITE_ROBOTS = (
+        "SELECT host, 'user-agent: *' || chr(10) || 'disallow: /p' || "
+        "regexp_extract(host, '^h([0-9]+)\\.test$', 1) || '1' "
+        "AS robots_txt FROM (SELECT DISTINCT "
+        "NULLIF(regexp_extract(dst_url, "
+        "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') AS host "
+        f"FROM ({D.URL_EDGES_SQL})) WHERE host IS NOT NULL"
+    )
+    _POLITE_SCHED = (
+        "WITH f0 AS (SELECT dst_url AS url, count(*) AS inlinks "
+        f"FROM ({D.URL_EDGES_SQL}) GROUP BY dst_url), "
+        "f AS (SELECT f0.url, f0.inlinks FROM f0 JOIN ("
+        + _ca_sql("SELECT url FROM f0", _POLITE_ROBOTS, "*")
+        + ") v ON v.url = f0.url AND v.allowed), "
+        "h AS (SELECT url, NULLIF(regexp_extract(url, "
+        "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') AS host, inlinks "
+        "FROM f), "
+        "r AS (SELECT url, host, row_number() OVER (PARTITION BY host "
+        "ORDER BY inlinks DESC, url ASC) AS rank_in_host FROM h "
+        "WHERE host IS NOT NULL) "
+        "SELECT url, host, rank_in_host, "
+        "CAST((rank_in_host - 1) // 2 + 1 AS INT) AS fetch_round FROM r"
+    )
+    sqls["e2e_crawl_plan_polite"] = (
+        f"SELECT s.url, s.host, s.rank_in_host, s.fetch_round, b.budget "
+        f"FROM ({_POLITE_SCHED}) s JOIN ({_CRAWL_BUDGET_500}) b "
         "ON s.host = b.host WHERE s.rank_in_host <= b.budget"
     )
     sqls["s4_anchor_summary"] = (

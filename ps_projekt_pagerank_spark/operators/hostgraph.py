@@ -227,6 +227,8 @@ def crawl_plan(
     per_host_per_round: int = 1,
     src_col: str = "src_url",
     dst_col: str = "dst_url",
+    robots: DataFrame | None = None,
+    agent: str = "*",
 ) -> DataFrame:
     """(url, host, rank_in_host, fetch_round, budget) — the END-TO-END
     crawl planner, composed from this module's stages (VERDICT r3 task 6,
@@ -256,6 +258,17 @@ def crawl_plan(
     frontier = url_edges.groupBy(F.col(dst_col).alias("url")).agg(
         F.count("*").alias("inlinks")
     )
+    if robots is not None:
+        # politeness stage: drop disallowed urls BEFORE scheduling, so
+        # rank_in_host counts only fetchable pages (robots = the
+        # functions.robots.robots_rules table; host authority — hence
+        # budget — still accrues from the full link graph)
+        from ..functions.robots import crawl_allowed
+
+        verdict = crawl_allowed(frontier.select("url"), robots, agent)
+        frontier = frontier.join(
+            verdict.where(F.col("allowed")).select("url"), "url"
+        )
     sched = crawl_schedule(
         frontier, "inlinks", per_host_per_round=per_host_per_round
     )

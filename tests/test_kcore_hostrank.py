@@ -137,3 +137,37 @@ def test_crawl_plan_composes_and_cuts(spark):
     per_host = Counter(r["host"] for r in out)
     for h, n in per_host.items():
         assert n <= budgets[h]
+
+
+def test_crawl_plan_polite_drops_disallowed_and_renumbers(spark):
+    # same 2-host shape, but a.test's robots.txt disallows /p0: the p0
+    # URL must vanish from the schedule and rank_in_host must renumber
+    # the remaining a-pages densely from 1 (politeness runs BEFORE the
+    # per-host window, not as a post-filter).
+    from ps_projekt_pagerank_spark.functions.robots import robots_rules
+    from ps_projekt_pagerank_spark.operators.hostgraph import crawl_plan
+
+    edges = []
+    for p in range(6):  # b -> a
+        edges.append((f"http://b.test/p{p}", f"http://a.test/p{p % 4}"))
+    for p in range(3):  # a -> b
+        edges.append((f"http://a.test/p{p}", f"http://b.test/p{p}"))
+    df = spark.createDataFrame(edges, "src_url STRING, dst_url STRING")
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /p0")],
+        "host STRING, robots_txt STRING",
+    )
+    base = crawl_plan(df, total_budget=6, num_iterations=4,
+                      per_host_per_round=2).collect()
+    out = crawl_plan(df, total_budget=6, num_iterations=4,
+                     per_host_per_round=2,
+                     robots=robots_rules(robots)).collect()
+    urls = {r["url"] for r in out}
+    assert "http://a.test/p0" not in urls
+    assert any(u.startswith("http://b.test/") for u in urls)
+    # budgets come from the FULL graph — unchanged by politeness
+    assert ({(r["host"], r["budget"]) for r in out}
+            == {(r["host"], r["budget"]) for r in base})
+    a_ranks = sorted(r["rank_in_host"] for r in out
+                     if r["host"] == "a.test")
+    assert a_ranks == list(range(1, len(a_ranks) + 1))
