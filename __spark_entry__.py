@@ -1078,6 +1078,24 @@ def _q_dedup_survivors(spark, sf_dir):
     return dd.dedup_survivors(docs.unionAll(dups), quality_col="n_chars")
 
 
+def _q_semdedup(spark, sf_dir):
+    # SemDeDup over the embeddings table: same k-means/nprobe config as
+    # dedup_embedding_pairs so the twin reuses the trained-cell CTEs
+    return dd.semdedup(
+        D.embeddings(spark, sf_dir),
+        threshold=0.35,
+        num_centroids=8,
+        nprobe=2,
+    )
+
+
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR importance weights: target domain = every 5th document (a
+    # deterministic, engine-replayable slice of the same corpus)
+    docs = D.documents(spark, sf_dir).select("doc_id", "text")
+    return tx.dsir_weights(docs, docs.where(F.col("doc_id") % 5 == 0))
+
+
 def _q_anchor_summary(spark, sf_dir):
     from ps_projekt_pagerank_spark.sources.extraction import (
         anchor_summary,
@@ -1513,6 +1531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_redirects_resolved": _q_resolve_redirects,
         "url_crawl_schedule": _q_crawl_schedule,
         "dedup_chunk_stats": _q_chunk_dup_stats,
+        "dedup_semdedup": _q_semdedup,
+        "text_dsir_weights": _q_dsir_weights,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
         "emb_cluster_stats": _q_cluster_stats,
@@ -3414,6 +3434,55 @@ def oracle_sql() -> dict[str, str]:
         "lang",
         qs=(0.25, 0.5, 0.9),
         key_col="doc_id",
+    )
+    # SemDeDup: the dedup_embedding_pairs candidate chain (trained cells,
+    # nprobe 2) + recursive closure + farthest-from-centroid survivor via
+    # the printf arg-min key on the nano-int home-cell cosine
+    sd_ctes, sd_fin = _kmeans_cents_ctes(8, 2)
+    sqls["dedup_semdedup"] = (
+        "WITH RECURSIVE "
+        + ", ".join(
+            sd_ctes
+            + _ivf_assign_ctes(sd_fin, 2)
+            + [
+                "scand AS (SELECT DISTINCT a.nid AS id_a, b.nid AS id_b "
+                "FROM vcell a JOIN vcell b ON a.cell = b.cell "
+                "AND a.nid < b.nid)",
+                "spc AS (SELECT c.id_a, c.id_b, "
+                "CAST(unnest(x.embedding) AS DOUBLE) AS x, "
+                "CAST(unnest(y.embedding) AS DOUBLE) AS y FROM scand c "
+                "JOIN embeddings x ON x.vec_id = c.id_a "
+                "JOIN embeddings y ON y.vec_id = c.id_b)",
+                "spairs AS (SELECT id_a, id_b FROM spc "
+                "GROUP BY id_a, id_b HAVING sum(x*y) / "
+                "(sqrt(sum(x*x)) * sqrt(sum(y*y))) > 0.35)",
+                "ssym(a, b) AS (SELECT id_a, id_b FROM spairs "
+                "UNION SELECT id_b, id_a FROM spairs)",
+                "sreach(a, b) AS (SELECT a, b FROM ssym UNION "
+                "SELECT r.a, s.b FROM sreach r JOIN ssym s ON r.b = s.a)",
+                "scomp AS (SELECT a AS doc_id, least(a, min(b)) AS "
+                "component FROM sreach GROUP BY a)",
+                "shome AS (SELECT v.nid AS doc_id, s.cs AS centroid_sim "
+                "FROM vcell v JOIN vs s ON s.nid = v.nid "
+                "AND s.cent_id = v.cell WHERE v.rn = 1)",
+                "sassign AS (SELECT e.vec_id AS doc_id, "
+                "coalesce(c.component, e.vec_id) AS cluster_id, "
+                "h.centroid_sim FROM embeddings e "
+                "LEFT JOIN scomp c ON c.doc_id = e.vec_id "
+                "JOIN shome h ON h.doc_id = e.vec_id)",
+                "ssurv AS (SELECT cluster_id, CAST(substr(min(printf("
+                "'%07d#%020d', CAST(round(centroid_sim * 1e6, 0) AS BIGINT)"
+                " + 1000000, doc_id)), 9, 20) AS BIGINT) AS survivor_id "
+                "FROM sassign GROUP BY cluster_id)",
+            ]
+        )
+        + " SELECT a.doc_id, a.cluster_id, s.survivor_id, a.centroid_sim, "
+        "a.doc_id <> s.survivor_id AS is_duplicate "
+        "FROM sassign a JOIN ssurv s ON s.cluster_id = a.cluster_id"
+    )
+    sqls["text_dsir_weights"] = tx.dsir_weights_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0",
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

@@ -754,3 +754,166 @@ def ngram_novelty_sql(docs_sql: str, n: int = 3) -> str:
         "round(p.novel_ngrams / CAST(p.n_ngrams AS DOUBLE), 6) END "
         "AS novelty FROM d b LEFT JOIN per p USING (doc_id)"
     )
+
+
+def _feat_bucket(feat: Column, num_buckets: int) -> Column:
+    """Engine-replayable feature hash: first 8 md5 hex chars -> 32-bit
+    int -> mod num_buckets (the stratified-sample md5-uniform idiom)."""
+    return (
+        F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    )
+
+
+def _doc_feats(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, feat) — hashed-n-gram feature OCCURRENCES: unigrams plus
+    adjacent bigrams of the whitespace tokenization (the DSIR feature
+    space, Xie et al. 2023 §3.2)."""
+    t = F.filter(tokens(F.lower(text_col)), lambda x: x != "")
+    big = F.when(
+        F.size(t) > 1,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat(
+                F.element_at(t, i + 1), F.lit(" "), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.concat(t, big)).alias("feat")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """(doc_id, n_feats, dsir_bits, bits_per_feat) — DSIR-style importance
+    weights (Data Selection with Importance Resampling, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely a
+    TARGET-domain hashed-n-gram LM finds it than the raw-corpus LM;
+    resampling raw data by this weight shifts the mixture toward the
+    target domain. Features are hashed unigrams+bigrams (``num_buckets``
+    buckets); ``dsir_bits`` = Σ_occurrences (bits_raw(f) − bits_target(f))
+    where bits_X(f) = floor(log2(N_X / (c_X(f)+1))) — the importance
+    log-ratio log p_target − log p_raw at 1-bit resolution, add-one
+    smoothed so unseen-in-target features are finite. Positive = more
+    target-like than the raw average.
+
+    Determinism contract: the bits chain is the ``lm_surprisal_stats``
+    no-floating-log idiom (length(bin(N div (c+1))) − 1, pure int64), the
+    bucket hash is the md5-hex-prefix uniform — every row reproduces
+    bit-for-bit on any engine. ``bits_per_feat`` is one IEEE division of
+    exact BIGINT moments.
+
+    Scale: two token explodes (raw + target), two ≤num_buckets-row count
+    aggs (map-side combinable, broadcast downstream), one per-doc agg.
+    The bucket tables are fixed-size regardless of corpus scale — this is
+    exactly why DSIR hashes features instead of keeping the raw vocab.
+    """
+    raw_occ = _doc_feats(docs, text_col).select(
+        "doc_id", _feat_bucket(F.col("feat"), num_buckets).alias("b")
+    )
+    tgt_occ = _doc_feats(target, text_col).select(
+        _feat_bucket(F.col("feat"), num_buckets).alias("b")
+    )
+    c_raw = raw_occ.groupBy("b").agg(F.count("*").alias("c_r"))
+    c_tgt = tgt_occ.groupBy("b").agg(F.count("*").alias("c_t"))
+    totals = c_raw.agg(F.sum("c_r").alias("n_r")).crossJoin(
+        tgt_occ.agg(F.count("*").alias("n_t"))
+    )
+    bits = (
+        c_raw.join(c_tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.length(
+                    F.bin(
+                        F.greatest(
+                            F.expr("n_r div (c_r + 1)"), F.lit(1).cast("long")
+                        )
+                    )
+                ).cast("long")
+                - 1
+                - (
+                    F.length(
+                        F.bin(
+                            F.greatest(
+                                F.expr("n_t div (coalesce(c_t, 0) + 1)"),
+                                F.lit(1).cast("long"),
+                            )
+                        )
+                    ).cast("long")
+                    - 1
+                )
+            ).alias("dbits"),
+        )
+    )
+    per = (
+        raw_occ.join(F.broadcast(bits), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("dbits").alias("dsir_bits"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        F.coalesce("dsir_bits", F.lit(0).cast("long")).alias("dsir_bits"),
+        (
+            F.col("dsir_bits").cast("double")
+            / F.col("n_feats").cast("double")
+        ).alias("bits_per_feat"),
+    )
+
+
+def dsir_weights_sql(
+    docs_sql: str, target_sql: str, num_buckets: int = 4096
+) -> str:
+    """DuckDB twin of dsir_weights — identical md5 buckets, bin/div
+    integer bits chain, and IEEE closing division."""
+
+    def feats(src: str, name: str) -> str:
+        return (
+            f"{name}0 AS (SELECT doc_id, list_filter("
+            f"string_split(lower(text), ' '), x -> x <> '') AS t "
+            f"FROM ({src})), "
+            f"{name} AS (SELECT doc_id, feat FROM ("
+            f"SELECT doc_id, unnest(t) AS feat FROM {name}0 "
+            f"UNION ALL "
+            f"SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS feat "
+            f"FROM (SELECT doc_id, t, unnest(range(0, "
+            f"greatest(len(t) - 1, 0))) AS i FROM {name}0)))"
+        )
+
+    bucket = (
+        "CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % "
+        f"{num_buckets}"
+    )
+    return (
+        f"WITH {feats(docs_sql, 'rf')}, {feats(target_sql, 'tf')}, "
+        f"ro AS (SELECT doc_id, {bucket} AS b FROM rf), "
+        f"to_ AS (SELECT {bucket} AS b FROM tf), "
+        "cr AS (SELECT b, count(*) AS c_r FROM ro GROUP BY b), "
+        "ct AS (SELECT b, count(*) AS c_t FROM to_ GROUP BY b), "
+        "tot AS (SELECT (SELECT CAST(sum(c_r) AS BIGINT) FROM cr) AS n_r, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM to_) AS n_t), "
+        "bits AS (SELECT cr.b, "
+        "CAST((length(bin(greatest(n_r // (c_r + 1), 1))) - 1) - "
+        "(length(bin(greatest(n_t // (coalesce(c_t, 0) + 1), 1))) - 1) "
+        "AS BIGINT) AS dbits "
+        "FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot), "
+        "per AS (SELECT doc_id, count(*) AS n_feats, "
+        "CAST(sum(dbits) AS BIGINT) AS dsir_bits "
+        "FROM ro JOIN bits ON bits.b = ro.b GROUP BY doc_id) "
+        f"SELECT d.doc_id, coalesce(p.n_feats, 0) AS n_feats, "
+        "coalesce(p.dsir_bits, 0) AS dsir_bits, "
+        "CAST(p.dsir_bits AS DOUBLE) / CAST(p.n_feats AS DOUBLE) "
+        "AS bits_per_feat "
+        f"FROM (SELECT doc_id FROM ({docs_sql})) d "
+        "LEFT JOIN per p USING (doc_id)"
+    )

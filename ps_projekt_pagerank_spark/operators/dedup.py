@@ -463,6 +463,100 @@ def embedding_neardup_pairs_bruteforce(
     )
 
 
+def semdedup(
+    vecs: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 2,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id, survivor_id, centroid_sim, is_duplicate) —
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    groups from embedding cosine, ONE survivor per group = the member
+    FARTHEST from its k-means cell centroid (the paper keeps each
+    group's low-similarity outlier to preserve corpus diversity); ties
+    break to the smaller id. Documented simplification vs the paper:
+    dup groups are the transitive closure of above-threshold pairs
+    (cluster-bucketed, like ``dedup_survivors``) rather than per-cell
+    ε-ball stars — closure is order-independent, hence deterministic.
+
+    Built from this module's existing stages sharing ONE k-means build:
+    deterministic IVF cells (``ivf_centroids``) bucket the candidate
+    pairs (never all-pairs — the ``embedding_neardup_pairs`` plan), the
+    pair graph closes with min-label components, and the survivor
+    arg-min rides a printf key on the nano-int home-cell cosine (the
+    ``dedup_survivors`` trick — no window, groups are dup-sized).
+
+    Scale: one k-means train (K rows broadcast), one cell-bucketed
+    self-join for candidates, a tiny-pair-graph closure, and two hash
+    aggs — every stage linear in |vecs| + |candidate pairs|.
+    """
+    from .components import connected_components
+    from .similarity import _nearest_cells, ivf_centroids
+
+    cents = ivf_centroids(vecs, num_centroids, kmeans_iters, id_col, vec_col)
+    pts = vecs.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pvec"))
+    cells = _nearest_cells(pts, cents, nprobe, "pid", "pvec")
+    a = cells.select("cell", F.col("pid").alias("id_a"))
+    b = cells.select(F.col("cell").alias("cell2"), F.col("pid").alias("id_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(cosine("va", "vb") > threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_rounds=max_rounds,
+    ).select(F.col("id").alias("doc_id"), "component")
+    home = cells.where(F.col("cell_rank") == 1).select(
+        F.col("pid").alias("doc_id"), F.col("cscore").alias("centroid_sim")
+    )
+    assign = (
+        vecs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .join(home, "doc_id")
+    )
+    # nano-int key: cscore is already rounded 6 dp, so ×1e6 is integral
+    # up to FP noise; round() lands both engines on the same BIGINT.
+    simkey = F.round(F.col("centroid_sim") * 1e6).cast("long") + F.lit(
+        1_000_000
+    )
+    key = F.concat(
+        F.format_string("%07d", simkey),
+        F.lit("#"),
+        F.format_string("%020d", F.col("doc_id")),
+    )
+    surv = assign.groupBy("cluster_id").agg(
+        F.substring(F.min(key), 9, 20).cast("long").alias("survivor_id")
+    )
+    return assign.join(surv, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "survivor_id",
+        "centroid_sim",
+        (F.col("doc_id") != F.col("survivor_id")).alias("is_duplicate"),
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     text_col: str = "text",

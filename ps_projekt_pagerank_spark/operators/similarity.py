@@ -288,7 +288,9 @@ def _nearest_cells(points: DataFrame, cents: DataFrame, n: int,
     return (
         scored.withColumn("cell_rank", F.row_number().over(w))
         .where(F.col("cell_rank") <= n)
-        .select(point_id, F.col("cent_id").alias("cell"), "cell_rank")
+        .select(
+            point_id, F.col("cent_id").alias("cell"), "cell_rank", "cscore"
+        )
     )
 
 

@@ -338,3 +338,46 @@ def test_knn_ivf_auto_centroids(spark):
         )
 
     assert rows(None) == rows(6)
+
+
+def test_semdedup_groups_and_outlier_survivor(spark):
+    # three planted semantic-dup groups + untouched singletons; the
+    # survivor must be each group's farthest-from-centroid member
+    # (SemDeDup keeps the outlier), verified against a numpy replay of
+    # the deterministic k-means cells.
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, 8).astype(np.float32)
+    rows = []
+    vid = 0
+    groups = []
+    for g in range(3):  # groups of 3 near-identical vectors
+        ids = []
+        for j in range(3):
+            v = base[g] + 0.001 * (j + 1) * rng.randn(8).astype(np.float32)
+            rows.append((vid, [float(x) for x in v]))
+            ids.append(vid)
+            vid += 1
+        groups.append(ids)
+    for g in range(3, 6):  # singletons
+        rows.append((vid, [float(x) for x in base[g]]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r["doc_id"]: r for r in dd.semdedup(
+        df, threshold=0.999, num_centroids=4, nprobe=2
+    ).collect()}
+    assert len(out) == len(rows)
+    for ids in groups:
+        clusters = {out[i]["cluster_id"] for i in ids}
+        assert clusters == {min(ids)}, "group must close into one cluster"
+        surv = {out[i]["survivor_id"] for i in ids}
+        assert len(surv) == 1
+        expect = min(
+            (round(out[i]["centroid_sim"], 6), i) for i in ids
+        )[1]  # farthest from centroid, tie -> smaller id
+        assert surv == {expect}
+        for i in ids:
+            assert out[i]["is_duplicate"] == (i != expect)
+    for i in range(9, 12):  # singletons survive as their own cluster
+        assert out[i]["cluster_id"] == i
+        assert out[i]["survivor_id"] == i
+        assert not out[i]["is_duplicate"]
