@@ -1096,6 +1096,47 @@ def _q_dsir_weights(spark, sf_dir):
     return tx.dsir_weights(docs, docs.where(F.col("doc_id") % 5 == 0))
 
 
+def _q_bloom_seen(spark, sf_dir):
+    # crawl-frontier membership: bloom over crawled srcs, probe all dsts;
+    # m sized so the sf0.01 fixture (997 seen keys) produces real false
+    # positives alongside the guaranteed zero false negatives
+    from ps_projekt_pagerank_spark.functions import bloom as bl
+
+    edges = D.web_edges(spark, sf_dir)
+    seen = edges.select(F.col("src").alias("id"))
+    frontier = edges.select(F.col("dst").alias("id"))
+    filt = bl.bloom_build(seen, "id", m_bits=4096, num_hashes=3)
+    probed = bl.bloom_probe(filt, frontier, "id", m_bits=4096, num_hashes=3)
+    actually = seen.distinct().withColumn("actually_seen", F.lit(True))
+    return probed.join(actually, "id", "left").select(
+        "id",
+        F.col("maybe_present").alias("maybe_seen"),
+        F.coalesce("actually_seen", F.lit(False)).alias("actually_seen"),
+    )
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions import cms as cm
+
+    docs = D.documents(spark, sf_dir)
+    vals = docs.select(F.explode(tx.tokens(F.col("text"))).alias("v"))
+    grid = cm.cms_build(vals, "v", depth=3, width=256)
+    exact = vals.groupBy("v").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "v").limit(20)
+    est = cm.cms_estimate(grid, top, "v", depth=3, width=256)
+    return top.join(est, "v").select(
+        "v", "exact_cnt", F.col("est").alias("cms_est")
+    )
+
+
+def _q_textrank_keywords(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.textrank import textrank_keywords
+
+    return textrank_keywords(
+        D.documents(spark, sf_dir).select("doc_id", "text"), top_k=3
+    )
+
+
 def _q_anchor_summary(spark, sf_dir):
     from ps_projekt_pagerank_spark.sources.extraction import (
         anchor_summary,
@@ -1533,6 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_stats": _q_chunk_dup_stats,
         "dedup_semdedup": _q_semdedup,
         "text_dsir_weights": _q_dsir_weights,
+        "url_bloom_seen": _q_bloom_seen,
+        "text_cms_heavy_hitters": _q_cms_heavy_hitters,
+        "text_textrank_keywords": _q_textrank_keywords,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
         "emb_cluster_stats": _q_cluster_stats,
@@ -3483,6 +3527,35 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_dsir_weights"] = tx.dsir_weights_sql(
         "SELECT doc_id, text FROM documents",
         "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0",
+    )
+    from ps_projekt_pagerank_spark.functions.bloom import bloom_seen_sql
+    from ps_projekt_pagerank_spark.functions.cms import cms_heavy_hitters_sql
+    from ps_projekt_pagerank_spark.operators.textrank import (
+        textrank_keywords_sql,
+    )
+
+    sqls["url_bloom_seen"] = (
+        "WITH bp AS (SELECT * FROM ("
+        + bloom_seen_sql(
+            f"SELECT src AS id FROM ({_WEB})",
+            f"SELECT dst AS id FROM ({_WEB})",
+            m_bits=4096,
+            num_hashes=3,
+        )
+        + ") _b), "
+        f"sn AS (SELECT DISTINCT src AS id FROM ({_WEB})) "
+        "SELECT bp.id, bp.maybe_present AS maybe_seen, "
+        "sn.id IS NOT NULL AS actually_seen "
+        "FROM bp LEFT JOIN sn USING (id)"
+    )
+    sqls["text_cms_heavy_hitters"] = cms_heavy_hitters_sql(
+        "SELECT unnest(string_split(text, ' ')) AS v FROM documents",
+        top_k=20,
+        depth=3,
+        width=256,
+    )
+    sqls["text_textrank_keywords"] = textrank_keywords_sql(
+        "SELECT doc_id, text FROM documents", top_k=3
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
