@@ -1129,6 +1129,12 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def _q_bpe_fertility(spark, sf_dir):
+    return tx.bpe_ish_token_stats(
+        D.documents(spark, sf_dir).select("doc_id", "text")
+    )
+
+
 def _q_textrank_keywords(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.textrank import textrank_keywords
 
@@ -1577,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_bloom_seen": _q_bloom_seen,
         "text_cms_heavy_hitters": _q_cms_heavy_hitters,
         "text_textrank_keywords": _q_textrank_keywords,
+        "text_bpe_fertility": _q_bpe_fertility,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
         "emb_cluster_stats": _q_cluster_stats,
@@ -3556,6 +3563,9 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["text_textrank_keywords"] = textrank_keywords_sql(
         "SELECT doc_id, text FROM documents", top_k=3
+    )
+    sqls["text_bpe_fertility"] = tx.bpe_ish_token_stats_sql(
+        "SELECT doc_id, text FROM documents"
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

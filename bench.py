@@ -228,6 +228,27 @@ def run_suite(spark, sf_dir):
         ).count(),
     )
 
+    from ps_projekt_pagerank_spark.operators.dedup import semdedup
+
+    timed(
+        "semdedup",
+        lambda: semdedup(
+            D.embeddings(spark, sf_dir),
+            threshold=0.35,
+            num_centroids=8,
+            nprobe=2,
+        ).count(),
+    )
+
+    from ps_projekt_pagerank_spark.operators.textrank import textrank_keywords
+
+    timed(
+        "textrank_keywords",
+        lambda: textrank_keywords(
+            D.documents(spark, sf_dir).select("doc_id", "text"), top_k=3
+        ).count(),
+    )
+
     vecs = D.embeddings(spark, sf_dir)
     queries = vecs.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")

@@ -917,3 +917,52 @@ def dsir_weights_sql(
         f"FROM (SELECT doc_id FROM ({docs_sql})) d "
         "LEFT JOIN per p USING (doc_id)"
     )
+
+
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_ish_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens, fertility) — token counts under
+    the two tokenizations an LLM-data pipeline actually budgets with:
+    whitespace words and a BPE-style PRE-tokenization (letter runs, digit
+    runs, and each remaining symbol as its own token — the
+    alternation-of-classes core of the GPT-2 pretokenizer regex, kept to
+    RE2-safe constructs so Java and RE2 engines agree). ``fertility`` =
+    bpe_tokens / ws_tokens (6 dp; NULL when the doc has no words) — the
+    per-doc expansion factor used to convert word budgets to model-token
+    budgets. Real BPE merges need a learned vocab; the pretokenizer count
+    is the standard cheap upper-bound proxy.
+
+    Scale: two per-row regexp/array expressions, no joins, no shuffle.
+    """
+    ws = F.size(
+        F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    ).cast("long")
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.when(
+            ws > 0,
+            F.round(bpe.cast("double") / ws.cast("double"), 6),
+        ).alias("fertility"),
+    )
+
+
+def bpe_ish_token_stats_sql(docs_sql: str) -> str:
+    """DuckDB twin — identical pattern, counts, and 6 dp rounding."""
+    return (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS BIGINT) AS ws_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) "
+        "AS BIGINT) AS bpe_tokens, "
+        "CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "> 0 THEN round("
+        f"len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) / "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS DOUBLE), 6) END AS fertility "
+        f"FROM ({docs_sql})"
+    )
