@@ -1129,6 +1129,27 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.winnow import winnow_pairs
+
+    return winnow_pairs(D.documents(spark, sf_dir).select("doc_id", "text"))
+
+
+def _q_landmark_dists(spark, sf_dir):
+    # deterministic query-pair sample: src residues %100==0 crossed with
+    # dst residues %100==1 (196 pairs; ~140 are landmark-boundable)
+    from ps_projekt_pagerank_spark.operators.landmarks import (
+        landmark_distances,
+    )
+
+    edges = D.web_edges(spark, sf_dir)
+    srcs = edges.where(F.col("src") % 100 == 0).select("src").distinct()
+    dsts = edges.where(F.col("dst") % 100 == 1).select("dst").distinct()
+    return landmark_distances(
+        edges, srcs.crossJoin(dsts), num_landmarks=4, max_depth=6
+    )
+
+
 def _q_bpe_fertility(spark, sf_dir):
     return tx.bpe_ish_token_stats(
         D.documents(spark, sf_dir).select("doc_id", "text")
@@ -1584,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_heavy_hitters": _q_cms_heavy_hitters,
         "text_textrank_keywords": _q_textrank_keywords,
         "text_bpe_fertility": _q_bpe_fertility,
+        "dedup_winnow_pairs": _q_winnow_pairs,
+        "g_landmark_dists": _q_landmark_dists,
         "smp_weighted_sample": _q_weighted_sample,
         "emb_quantize_int8": _q_quantize_embeddings,
         "emb_cluster_stats": _q_cluster_stats,
@@ -3566,6 +3589,23 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["text_bpe_fertility"] = tx.bpe_ish_token_stats_sql(
         "SELECT doc_id, text FROM documents"
+    )
+    from ps_projekt_pagerank_spark.operators.winnow import winnow_pairs_sql
+
+    sqls["dedup_winnow_pairs"] = winnow_pairs_sql(
+        "SELECT doc_id, text FROM documents"
+    )
+    from ps_projekt_pagerank_spark.operators.landmarks import (
+        landmark_distances_sql,
+    )
+
+    sqls["g_landmark_dists"] = landmark_distances_sql(
+        _WEB,
+        "SELECT a.id AS src, b.id AS dst FROM "
+        f"(SELECT DISTINCT src AS id FROM ({_WEB}) WHERE src % 100 = 0) a, "
+        f"(SELECT DISTINCT dst AS id FROM ({_WEB}) WHERE dst % 100 = 1) b",
+        num_landmarks=4,
+        max_depth=6,
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
