@@ -99,11 +99,23 @@ def repeated_ngram_stats(
 
     Pure built-ins (split/sequence/slice/array_distinct — JVM-side,
     whole-stage codegen); one row pass, no shuffle, no Python.
+
+    The token array and each n-gram array get their own projection:
+    inlined into the slice lambda the tokenizer would be re-evaluated
+    once per n-gram (the winnowing O(n^2) lesson, operators/winnow.py).
     """
-    tok = F.filter(tokens(text_col), lambda t: t != "")
+    toked = df.select(
+        "doc_id", F.filter(tokens(text_col), lambda t: t != "").alias("_tok")
+    )
+    tok = F.col("_tok")
+    grammed = toked.select(
+        "doc_id",
+        tok,
+        *[_ngrams(tok, n).alias(f"_g{n}") for n in ns],
+    )
     cols = [F.col("doc_id"), F.size(tok).cast("long").alias("n_tokens")]
     for n in ns:
-        g = _ngrams(tok, n)
+        g = F.col(f"_g{n}")
         total = F.size(g)
         dup = F.when(
             total > 0,
@@ -116,7 +128,7 @@ def repeated_ngram_stats(
             total.cast("long").alias(f"total_{n}gr"),
             dup.alias(f"dup_ratio_{n}gr"),
         ]
-    return df.select(*cols)
+    return grammed.select(*cols)
 
 
 def repeated_ngram_sql(
@@ -769,7 +781,14 @@ def _doc_feats(docs: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, feat) — hashed-n-gram feature OCCURRENCES: unigrams plus
     adjacent bigrams of the whitespace tokenization (the DSIR feature
     space, Xie et al. 2023 §3.2)."""
-    t = F.filter(tokens(F.lower(text_col)), lambda x: x != "")
+    # tokenize in its own projection — inlined into the element_at
+    # lambda the split would re-run per bigram (the winnowing O(n^2)
+    # lesson, operators/winnow.py)
+    toked = docs.select(
+        "doc_id",
+        F.filter(tokens(F.lower(text_col)), lambda x: x != "").alias("_tok"),
+    )
+    t = F.col("_tok")
     big = F.when(
         F.size(t) > 1,
         F.transform(
@@ -779,7 +798,7 @@ def _doc_feats(docs: DataFrame, text_col: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    return toked.select(
         "doc_id", F.explode(F.concat(t, big)).alias("feat")
     )
 

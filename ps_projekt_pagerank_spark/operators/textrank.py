@@ -51,8 +51,14 @@ def textrank_keywords(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0 < d_num < d_den):
         raise ValueError(f"need 0 < d_num < d_den, got {d_num}/{d_den}")
-    t = tokens(F.col(text_col))
-    adj = docs.select(
+    # tokenize in its own projection — inlined into the element_at
+    # lambda the split would re-run per adjacent pair (the winnowing
+    # O(n^2) lesson, operators/winnow.py)
+    toked = docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("_tok")
+    )
+    t = F.col("_tok")
+    adj = toked.select(
         "doc_id",
         F.explode(
             F.when(
