@@ -1012,6 +1012,28 @@ def _q_katz(spark, sf_dir):
     return katz_fixed(D.web_edges(spark, sf_dir), num_iterations=4)
 
 
+def _q_reciprocity(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.structure import reciprocity
+
+    return reciprocity(D.web_edges(spark, sf_dir))
+
+
+def _q_node_reciprocity(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.structure import (
+        node_reciprocity,
+    )
+
+    return node_reciprocity(D.web_edges(spark, sf_dir))
+
+
+def _q_avg_nn_degree(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.structure import (
+        avg_neighbor_degree,
+    )
+
+    return avg_neighbor_degree(D.sparse_edges(spark, sf_dir))
+
+
 def _q_neighborhood_jaccard(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.cocitation import (
         neighborhood_jaccard,
@@ -1659,6 +1681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "la_katz4": _q_katz,
         "lp_neighborhood_jaccard": _q_neighborhood_jaccard,
         "g_assortativity": _q_assortativity,
+        "g_reciprocity": _q_reciprocity,
+        "g_node_reciprocity": _q_node_reciprocity,
+        "g_avg_nn_degree": _q_avg_nn_degree,
         "la_coupling_pairs": _q_coupling,
         "smp_random_walks": _q_random_walks,
         "smp_ego_network": _q_ego_network,
@@ -3063,6 +3088,15 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["g_assortativity"] = degree_assortativity_sql(_SPARSE)
+    from ps_projekt_pagerank_spark.operators.structure import (
+        avg_neighbor_degree_sql,
+        node_reciprocity_sql,
+        reciprocity_sql,
+    )
+
+    sqls["g_reciprocity"] = reciprocity_sql(_WEB)
+    sqls["g_node_reciprocity"] = node_reciprocity_sql(_WEB)
+    sqls["g_avg_nn_degree"] = avg_neighbor_degree_sql(_SPARSE)
     sqls["lp_neighborhood_jaccard"] = (
         f"WITH e0 AS (SELECT DISTINCT src, dst FROM ({_SPARSE})), "
         "keep AS (SELECT src FROM e0 GROUP BY src HAVING count(*) <= 16), "

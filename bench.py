@@ -228,6 +228,15 @@ def run_suite(spark, sf_dir):
         ).count(),
     )
 
+    from ps_projekt_pagerank_spark.operators.winnow import winnow_pairs
+
+    timed(
+        "dedup_winnow_pairs",
+        lambda: winnow_pairs(
+            D.documents(spark, sf_dir).select("doc_id", "text")
+        ).count(),
+    )
+
     from ps_projekt_pagerank_spark.operators.dedup import semdedup
 
     timed(
