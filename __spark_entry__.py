@@ -1209,6 +1209,12 @@ def _q_kcore16(spark, sf_dir):
     return k_core(D.sparse_edges(spark, sf_dir), k=16)
 
 
+def _q_coreness(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.kcore import coreness
+
+    return coreness(D.web_edges(spark, sf_dir), rounds=25)
+
+
 def _q_host_rank4(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.hostgraph import host_pagerank
 
@@ -1696,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_anchor_summary": _q_anchor_summary,
         "text_url_normalize": _q_url_normalize,
         "g_kcore16": _q_kcore16,
+        "g_coreness": _q_coreness,
         "host_rank4": _q_host_rank4,
         "host_crawl_budget": _q_host_budget,
         "e2e_crawl_plan": _q_crawl_plan,
@@ -3166,6 +3173,9 @@ def oracle_sql() -> dict[str, str]:
     # 5 peel rounds = the measured fixpoint for k=16 on the sf0.01 sparse
     # graph (round 5 deletes nothing; Spark's counted loop stops there too)
     sqls["g_kcore16"] = _kcore_sql(_SPARSE, k=16, rounds=5)
+    from ps_projekt_pagerank_spark.operators.kcore import coreness_sql
+
+    sqls["g_coreness"] = coreness_sql(D.WEB_EDGES_SQL, rounds=25)
     sqls["host_rank4"] = (
         f"SELECT id AS host, rank FROM ({_pagerank_fixed_sql(4, _HOST_MULTISET)})"
     )

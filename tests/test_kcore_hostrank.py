@@ -53,6 +53,65 @@ def test_k_core_matches_python_peel(spark):
         k_core(df, 0)
 
 
+def _py_coreness(pairs):
+    """literal Seidman peel — the definitional oracle for coreness."""
+    adj = {}
+    ids = set()
+    for a, b in pairs:
+        ids.add(a)
+        ids.add(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {v: 0 for v in ids}
+    nodes = set(adj)
+    cur = {v: set(ns) for v, ns in adj.items()}
+    k = 1
+    while nodes:
+        while True:
+            rem = [v for v in nodes if len(cur[v]) < k]
+            if not rem:
+                break
+            for v in rem:
+                for u in cur[v]:
+                    cur[u].discard(v)
+                cur[v] = set()
+                nodes.discard(v)
+                core[v] = k - 1
+        k += 1
+    return core
+
+
+def test_coreness_matches_peel_and_fixpoint(spark):
+    from ps_projekt_pagerank_spark.operators.kcore import coreness
+
+    # add a self-loop-only node (30) and a duplicate edge: both must be
+    # absorbed by the simple-view canonicalization; 30 gets coreness 0
+    edges = KCORE_EDGES + [(30, 30), (0, 1)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    fixp = {r["id"]: r["coreness"] for r in coreness(df).collect()}
+    fixed = {r["id"]: r["coreness"] for r in coreness(df, rounds=12).collect()}
+    assert fixp == fixed == _py_coreness(edges)
+    # K5 clique members have core number 4; the pendant chain 1; the
+    # triangle 2; the self-loop-only node 0
+    assert fixp[0] == 4 and fixp[10] == 1 and fixp[20] == 2 and fixp[30] == 0
+
+
+def test_coreness_sql_twin_matches(spark):
+    from ps_projekt_pagerank_spark.operators.kcore import coreness, coreness_sql
+
+    import duckdb
+
+    edges = KCORE_EDGES + [(30, 30)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r["id"]: r["coreness"] for r in coreness(df, rounds=12).collect()}
+    con = duckdb.connect()
+    values = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = coreness_sql(f"SELECT * FROM (VALUES {values}) AS t(src, dst)", 12)
+    assert dict(con.execute(sql).fetchall()) == got
+
+
 def test_weighted_build_graph_equals_expanded_multiset(spark):
     # multigraph with duplicates vs its pre-collapsed weighted form
     raw = [(0, 1), (0, 1), (0, 1), (1, 2), (2, 0), (2, 0), (3, 1)]
