@@ -285,6 +285,34 @@ def _q_vocab_fm(spark, sf_dir):
     return fm_count_distinct(toks, "v")
 
 
+def _q_vocab_hll(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.sketches import (
+        hll_count_distinct,
+    )
+
+    toks = (
+        D.documents(spark, sf_dir)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("v"))
+        .where(F.col("v") != "")
+    )
+    return hll_count_distinct(toks, "v")
+
+
+def _q_vocab_by_lang_hll(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.sketches import (
+        hll_count_distinct_by_key,
+    )
+
+    pairs = (
+        D.documents(spark, sf_dir)
+        .select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+    )
+    return hll_count_distinct_by_key(pairs, "lang", "tok")
+
+
 def _q_corpus_pipeline(spark, sf_dir):
     from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline
 
@@ -1648,6 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_corpus_filter_neardup": _q_corpus_pipeline_neardup,
         "text_pmi_bigrams": _q_pmi_bigrams,
         "text_vocab_fm": _q_vocab_fm,
+        "text_vocab_hll": _q_vocab_hll,
+        "text_vocab_by_lang_hll": _q_vocab_by_lang_hll,
         "smp_corpus_splits": _q_corpus_splits,
         "text_vocab_by_lang_fm": _q_vocab_by_lang_fm,
         "text_vocab_coverage": _q_vocab_coverage,
@@ -2675,6 +2705,20 @@ def oracle_sql() -> dict[str, str]:
     sqls["text_vocab_fm"] = fm_count_distinct_sql(
         "SELECT v FROM (SELECT unnest(string_split(lower(text), ' ')) AS v "
         "FROM documents) WHERE v <> ''",
+    )
+    from ps_projekt_pagerank_spark.functions.sketches import (
+        hll_count_distinct_by_key_sql,
+        hll_count_distinct_sql,
+    )
+
+    sqls["text_vocab_hll"] = hll_count_distinct_sql(
+        "SELECT v FROM (SELECT unnest(string_split(lower(text), ' ')) AS v "
+        "FROM documents) WHERE v <> ''",
+    )
+    sqls["text_vocab_by_lang_hll"] = hll_count_distinct_by_key_sql(
+        "SELECT key, v FROM (SELECT lang AS key, "
+        "unnest(string_split(lower(text), ' ')) AS v FROM documents) "
+        "WHERE v <> ''",
     )
     sqls["text_vocab_coverage"] = tx.vocab_coverage_sql(
         "SELECT doc_id, text FROM documents", 100

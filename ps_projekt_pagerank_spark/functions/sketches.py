@@ -106,6 +106,211 @@ def fm_count_distinct_sql(
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet/Fusy/Gandouet/Meunier 2007) — the register-based
+# refinement of FM the big engines actually ship (Spark's own
+# approx_count_distinct is HLL++, but its sketch is not reproducible
+# outside Spark). This one is engine-portable by the same discipline as
+# the FM sketch above: every cross-engine quantity is an exact INTEGER
+# (md5-derived 60-bit hash, max-rho registers, and the register sum
+# Σ 2^(Rmax−M_j) scaled so it stays integral), and every transcendental
+# (α·m², m·ln(m/V)) is a Python-side literal, so the only floating-point
+# op either engine performs is ONE correctly-rounded IEEE division.
+#
+# Parameters are fixed small: b=6 → m=64 registers (σ ≈ 1.04/√64 ≈ 13%),
+# hash = first 15 md5 nibbles (60 bits: 6 bucket + 54 pattern, Rmax=55).
+# The standard small-range correction (est ≤ 2.5m with empty registers →
+# linear counting) is applied from a 65-entry literal table indexed by
+# the zero-register count; the 2^32 large-range correction is moot at a
+# 60-bit hash. Scale: groupBy(bucket)+max is map-side combinable; grouped
+# state = 64 small ints per key.
+# ---------------------------------------------------------------------------
+
+HLL_B = 6
+HLL_M = 1 << HLL_B
+HLL_NIBBLES = 15
+HLL_W = HLL_NIBBLES * 4 - HLL_B  # pattern bits
+HLL_RMAX = HLL_W + 1
+# α_64 · m² · 2^Rmax as ONE literal so both engines do a single division
+HLL_SCALE = 0.709 * float(HLL_M) * float(HLL_M) * 2.0 ** HLL_RMAX
+HLL_LC_THRESHOLD = 2.5 * HLL_M
+
+
+def hll_lc_table() -> list[float]:
+    """Linear-counting estimates indexed by zero-register count V:
+    TABLE[V] = round(m·ln(m/V), 6); V=0 slot unused (raw estimate used
+    then); V=m → 0.0 (empty input)."""
+    import math
+
+    return [0.0] + [
+        round(HLL_M * math.log(HLL_M / v), 6) for v in range(1, HLL_M + 1)
+    ]
+
+
+def _hll_rho(v: Column) -> tuple[Column, Column]:
+    """(bucket, rho) of one value: md5-derived 60-bit hash split into a
+    6-bit register index and the leading-zero rank of the remaining 54
+    pattern bits (rho = 55 when the pattern is all zeros)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(v.cast("string"), F.lit("#hll"))), 1, HLL_NIBBLES
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = h.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.call_function("shiftright", h, F.lit(HLL_B))
+    rho = F.when(w == 0, F.lit(HLL_RMAX)).otherwise(
+        F.lit(HLL_RMAX) - F.length(F.bin(w))
+    )
+    return bucket, rho
+
+
+def _hll_estimate(s_col: Column, v_col: Column) -> Column:
+    """est_distinct from the exact register sum S = Σ 2^(Rmax−M_j) and the
+    zero-register count V — raw = SCALE/S unless the small-range rule
+    fires (raw ≤ 2.5m and V > 0 → literal linear-counting table)."""
+    raw = F.lit(HLL_SCALE) / s_col.cast("double")
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in hll_lc_table()]), v_col.cast("int") + 1
+    )
+    return F.when(
+        (raw <= F.lit(HLL_LC_THRESHOLD)) & (v_col > 0), lc
+    ).otherwise(raw)
+
+
+def hll_count_distinct(df: DataFrame, col: str | Column) -> DataFrame:
+    """One row (n_zero_registers BIGINT, register_sum BIGINT,
+    est_distinct DOUBLE) — the HLL cardinality estimate of ``col``
+    (NULLs ignored). ``register_sum`` = Σ_j 2^(Rmax−M_j) over all m
+    registers (empty register ⇒ 2^Rmax) is the exact integer invariant;
+    empty input lands in the V=m linear-counting slot → 0.0."""
+    c = F.col(col) if isinstance(col, str) else col
+    bucket, rho = _hll_rho(F.col("_v"))
+    vals = (
+        df.select(c.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+    )
+    regs = vals.groupBy("bucket").agg(F.max("rho").alias("m"))
+    agg = regs.agg(
+        F.sum(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.lit(HLL_RMAX) - F.col("m")
+            )
+        ).alias("_sp"),
+        F.count("*").alias("_np"),
+    )
+    s = F.coalesce(F.col("_sp"), F.lit(0)) + (
+        F.lit(HLL_M) - F.col("_np")
+    ) * F.lit(1 << HLL_RMAX)
+    v = F.lit(HLL_M) - F.col("_np")
+    return agg.select(
+        v.cast("long").alias("n_zero_registers"),
+        s.cast("long").alias("register_sum"),
+        _hll_estimate(s, v).alias("est_distinct"),
+    )
+
+
+def hll_count_distinct_by_key(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """(key, n_zero_registers BIGINT, register_sum BIGINT, est_distinct
+    DOUBLE) — per-group HLL: the GROUP BY form of
+    :func:`hll_count_distinct` (two map-side-combinable aggs; per-group
+    state = m max-registers)."""
+    bucket, rho = _hll_rho(F.col("_v"))
+    vals = (
+        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select("key", bucket.alias("bucket"), rho.alias("rho"))
+    )
+    regs = vals.groupBy("key", "bucket").agg(F.max("rho").alias("m"))
+    agg = regs.groupBy("key").agg(
+        F.sum(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.lit(HLL_RMAX) - F.col("m")
+            )
+        ).alias("_sp"),
+        F.count("*").alias("_np"),
+    )
+    s = F.col("_sp") + (F.lit(HLL_M) - F.col("_np")) * F.lit(1 << HLL_RMAX)
+    v = F.lit(HLL_M) - F.col("_np")
+    return agg.select(
+        "key",
+        v.cast("long").alias("n_zero_registers"),
+        s.cast("long").alias("register_sum"),
+        _hll_estimate(s, v).alias("est_distinct"),
+    )
+
+
+def _hll_sql_core(grouped: bool) -> tuple[str, str, str]:
+    """Shared twin fragments: (rho expr over column v, register CTEs tail,
+    final select list) — key-aware when ``grouped``."""
+    x = (
+        f"CAST('0x' || substr(md5(CAST(v AS VARCHAR) || '#hll'), 1, "
+        f"{HLL_NIBBLES}) AS BIGINT)"
+    )
+    w = f"({x} >> {HLL_B})"
+    rho = (
+        f"(CASE WHEN {w} = 0 THEN {HLL_RMAX} "
+        f"ELSE {HLL_RMAX} - length(bin({w})) END)"
+    )
+    bucket = f"({x} & {HLL_M - 1})"
+    return x, bucket, rho
+
+
+def _hll_est_sql(s: str, v: str) -> str:
+    lits = ", ".join(repr(x) for x in hll_lc_table())
+    raw = f"({HLL_SCALE!r} / CAST({s} AS DOUBLE))"
+    lc = f"CAST(([{lits}])[CAST({v} AS INT) + 1] AS DOUBLE)"
+    return (
+        f"CASE WHEN {raw} <= {HLL_LC_THRESHOLD!r} AND {v} > 0 "
+        f"THEN {lc} ELSE {raw} END"
+    )
+
+
+def hll_count_distinct_sql(values_sql: str) -> str:
+    """DuckDB twin of :func:`hll_count_distinct` — ``values_sql`` must
+    yield one column ``v``; identical hash split, registers, integer
+    register sum, and literal corrections."""
+    _, bucket, rho = _hll_sql_core(False)
+    s = (
+        f"(coalesce(sp, 0) + ({HLL_M} - np) * "
+        f"CAST({1 << HLL_RMAX} AS BIGINT))"
+    )
+    v = f"({HLL_M} - np)"
+    return (
+        f"WITH vals AS (SELECT {bucket} AS bucket, {rho} AS rho FROM "
+        f"(SELECT v FROM ({values_sql}) WHERE v IS NOT NULL)), "
+        "regs AS (SELECT bucket, max(rho) AS m FROM vals GROUP BY bucket), "
+        f"agg AS (SELECT sum(CAST(1 AS BIGINT) << ({HLL_RMAX} - m)) AS sp, "
+        "count(*) AS np FROM regs) "
+        f"SELECT CAST({v} AS BIGINT) AS n_zero_registers, "
+        f"CAST({s} AS BIGINT) AS register_sum, "
+        f"{_hll_est_sql(s, v)} AS est_distinct FROM agg"
+    )
+
+
+def hll_count_distinct_by_key_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`hll_count_distinct_by_key` — ``pairs_sql``
+    must yield columns (key, v)."""
+    _, bucket, rho = _hll_sql_core(True)
+    s = f"(sp + ({HLL_M} - np) * CAST({1 << HLL_RMAX} AS BIGINT))"
+    v = f"({HLL_M} - np)"
+    return (
+        f"WITH vals AS (SELECT key, {bucket} AS bucket, {rho} AS rho FROM "
+        f"(SELECT key, v FROM ({pairs_sql}) WHERE v IS NOT NULL)), "
+        "regs AS (SELECT key, bucket, max(rho) AS m FROM vals "
+        "GROUP BY key, bucket), "
+        f"agg AS (SELECT key, sum(CAST(1 AS BIGINT) << ({HLL_RMAX} - m)) "
+        "AS sp, count(*) AS np FROM regs GROUP BY key) "
+        f"SELECT key, CAST({v} AS BIGINT) AS n_zero_registers, "
+        f"CAST({s} AS BIGINT) AS register_sum, "
+        f"{_hll_est_sql(s, v)} AS est_distinct FROM agg"
+    )
+
+
 def fm_count_distinct_by_key(
     df: DataFrame,
     key_col: str,
