@@ -119,6 +119,22 @@ def _q_pagerank_fixed4(spark, sf_dir):
     return ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
+def _q_opic4(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.opic import opic
+
+    res = opic(
+        D.web_edges(spark, sf_dir),
+        num_iterations=4,
+        graph=_web_graph(spark, sf_dir),
+    )
+    return res.select(
+        "id",
+        F.round("cash", 9).alias("cash"),
+        F.round("history", 9).alias("history"),
+        F.round("importance", 9).alias("importance"),
+    )
+
+
 def _q_pagerank_total(spark, sf_dir):
     ranks = pagerank_fixed(
         D.web_edges(spark, sf_dir),
@@ -1620,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_sinks": _q_sinks,
         "s3_tripled_edges": _q_tripled,
         "p_pagerank_fixed4": _q_pagerank_fixed4,
+        "p_opic4": _q_opic4,
         "r1_total_rank": _q_pagerank_total,
         "r3_pagerank_top10": _q_pagerank_top10,
         "p_pagerank_converged_top20": _q_pagerank_converged_top20,
@@ -2506,6 +2523,12 @@ def oracle_sql() -> dict[str, str]:
         f"UNION ALL SELECT m.m + src + 1 AS src, m.m + dst AS dst FROM e, m"
     )
     sqls["p_pagerank_fixed4"] = _pagerank_fixed_sql(4)
+    from ps_projekt_pagerank_spark.operators.opic import opic_sql
+
+    sqls["p_opic4"] = (
+        "SELECT id, round(cash, 9) AS cash, round(history, 9) AS history, "
+        f"round(importance, 9) AS importance FROM ({opic_sql(_WEB, 4)})"
+    )
     # 5 sweeps to convergence on the sf0.01 gate graph + 3 identity-sweep
     # margin (frozen state makes extra sweeps no-ops)
     sqls["p_pagerank_converged_top20"] = _pagerank_frozen_sql(8)
