@@ -301,6 +301,16 @@ def _q_vocab_fm(spark, sf_dir):
     return fm_count_distinct(toks, "v")
 
 
+def _q_quality_model(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.quality_model import (
+        hashed_linear_score,
+    )
+
+    return hashed_linear_score(
+        D.documents(spark, sf_dir).select("doc_id", "text")
+    )
+
+
 def _q_vocab_hll(spark, sf_dir):
     from ps_projekt_pagerank_spark.functions.sketches import (
         hll_count_distinct,
@@ -1694,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_bigrams": _q_pmi_bigrams,
         "text_vocab_fm": _q_vocab_fm,
         "text_vocab_hll": _q_vocab_hll,
+        "text_quality_model": _q_quality_model,
         "text_vocab_by_lang_hll": _q_vocab_by_lang_hll,
         "smp_corpus_splits": _q_corpus_splits,
         "text_vocab_by_lang_fm": _q_vocab_by_lang_fm,
@@ -2734,6 +2745,13 @@ def oracle_sql() -> dict[str, str]:
         hll_count_distinct_sql,
     )
 
+    from ps_projekt_pagerank_spark.functions.quality_model import (
+        hashed_linear_score_sql,
+    )
+
+    sqls["text_quality_model"] = hashed_linear_score_sql(
+        "SELECT doc_id, text FROM documents"
+    )
     sqls["text_vocab_hll"] = hll_count_distinct_sql(
         "SELECT v FROM (SELECT unnest(string_split(lower(text), ' ')) AS v "
         "FROM documents) WHERE v <> ''",
