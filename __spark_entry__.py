@@ -664,6 +664,14 @@ def _q_ktruss3(spark, sf_dir):
     return k_truss(D.sparse_edges(spark, sf_dir), k=3)
 
 
+def _q_truss_decomp(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.triangles import (
+        truss_decomposition,
+    )
+
+    return truss_decomposition(D.sparse_edges(spark, sf_dir), rounds=5)
+
+
 def _q_betweenness(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.betweenness import (
         betweenness_sampled,
@@ -1666,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_sssp_weighted4": _q_sssp_weighted,
         "g_betweenness": _q_betweenness,
         "g_ktruss3": _q_ktruss3,
+        "g_truss_decomp": _q_truss_decomp,
         "g_wl_colors": _q_wl_colors,
         "g_wl_histogram": _q_wl_histogram,
         "ppr_batch3": _q_ppr_batch,
@@ -2639,6 +2648,11 @@ def oracle_sql() -> dict[str, str]:
     # rounds=3: the gate graph's peel fixpoint is after round 1 (measured
     # in DuckDB: 12162 edges at rounds 1 and 2); extra rounds are identity
     sqls["g_ktruss3"] = k_truss_sql(_SPARSE, 3, rounds=3)
+    from ps_projekt_pagerank_spark.operators.triangles import (
+        truss_decomposition_sql,
+    )
+
+    sqls["g_truss_decomp"] = truss_decomposition_sql(_SPARSE, rounds=5)
     from ps_projekt_pagerank_spark.operators.wl import wl_colors_sql
 
     sqls["g_wl_colors"] = wl_colors_sql(_SPARSE, rounds=2)

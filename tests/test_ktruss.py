@@ -116,3 +116,101 @@ def test_ktruss_delta_support_matches_full_recount(spark):
     e.unpersist()
     for edge in kept:
         assert sup.get(edge, 0) >= 1, (edge, sup.get(edge, 0))
+
+
+def _py_trussness(pairs):
+    """literal peel-based truss decomposition — the definitional oracle."""
+    from collections import defaultdict
+
+    edges = set()
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        edges.add((a, b))
+        adj[a].add(b)
+        adj[b].add(a)
+    tri_of = defaultdict(list)
+    tris = []
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                tris.append(((a, b), (a, c), (b, c)))
+    for t in tris:
+        for e in t:
+            tri_of[e].append(t)
+    cur_edges, cur_tris = set(edges), set(tris)
+    sup = {e: len(tri_of[e]) for e in edges}
+    truss = {}
+    k = 3
+    while cur_edges:
+        while True:
+            rem = [e for e in cur_edges if sup[e] < k - 2]
+            if not rem:
+                break
+            for e in rem:
+                cur_edges.discard(e)
+                truss[e] = k - 1
+                for t in tri_of[e]:
+                    if t in cur_tris:
+                        cur_tris.discard(t)
+                        for e2 in t:
+                            if e2 in cur_edges:
+                                sup[e2] -= 1
+        k += 1
+        if k > 60:
+            break
+    return truss
+
+
+def test_truss_decomposition_matches_peel_and_fixpoint(spark):
+    from itertools import combinations
+
+    from ps_projekt_pagerank_spark.operators.triangles import (
+        truss_decomposition,
+    )
+
+    edges = (
+        list(combinations(range(5), 2))  # K5: every edge trussness 5
+        + [(0, 10), (10, 11)]            # pendant chain: trussness 2
+        + [(20, 21), (21, 22), (22, 20)]  # triangle: trussness 3
+        + [(30, 31), (40, 40), (0, 1)]   # isolated edge, self-loop, dup
+    )
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    fixp = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(df).collect()
+    }
+    fixed = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(df, rounds=8).collect()
+    }
+    assert fixp == fixed == _py_trussness(edges)
+    assert fixp[(0, 1)] == 5 and fixp[(20, 21)] == 3 and fixp[(30, 31)] == 2
+
+
+def test_truss_decomposition_sql_twin(spark):
+    import duckdb
+
+    from ps_projekt_pagerank_spark.operators.triangles import (
+        truss_decomposition,
+        truss_decomposition_sql,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (3, 1), (4, 5)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(df, rounds=6).collect()
+    }
+    values = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = truss_decomposition_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", 6
+    )
+    oracle = {
+        (r[0], r[1]): r[2] for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == oracle
+    # K4 edges have trussness 4; the disconnected edge 2
+    assert got[(0, 1)] == 4 and got[(4, 5)] == 2
