@@ -1271,6 +1271,12 @@ def _q_kcore16(spark, sf_dir):
     return k_core(D.sparse_edges(spark, sf_dir), k=16)
 
 
+def _q_rmat(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.rmat import rmat_edges
+
+    return rmat_edges(spark, n_edges=20000, scale=10)
+
+
 def _q_coreness(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.kcore import coreness
 
@@ -1770,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_normalize": _q_url_normalize,
         "g_kcore16": _q_kcore16,
         "g_coreness": _q_coreness,
+        "s_rmat_edges": _q_rmat,
         "host_rank4": _q_host_rank4,
         "host_crawl_budget": _q_host_budget,
         "e2e_crawl_plan": _q_crawl_plan,
@@ -3275,6 +3282,9 @@ def oracle_sql() -> dict[str, str]:
     from ps_projekt_pagerank_spark.operators.kcore import coreness_sql
 
     sqls["g_coreness"] = coreness_sql(D.WEB_EDGES_SQL, rounds=25)
+    from ps_projekt_pagerank_spark.sources.rmat import rmat_edges_sql
+
+    sqls["s_rmat_edges"] = rmat_edges_sql(20000, 10)
     sqls["host_rank4"] = (
         f"SELECT id AS host, rank FROM ({_pagerank_fixed_sql(4, _HOST_MULTISET)})"
     )
