@@ -311,6 +311,31 @@ def _q_quality_model(spark, sf_dir):
     )
 
 
+N_BPE_MERGES = 8
+
+
+def _q_bpe_merges(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(
+        D.documents(spark, sf_dir).select("doc_id", "text"), N_BPE_MERGES
+    )
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.bpe import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    docs = D.documents(spark, sf_dir).select("doc_id", "text")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn_merges(docs, N_BPE_MERGES).collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
 def _q_vocab_hll(spark, sf_dir):
     from ps_projekt_pagerank_spark.functions.sketches import (
         hll_count_distinct,
@@ -1720,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_fm": _q_vocab_fm,
         "text_vocab_hll": _q_vocab_hll,
         "text_quality_model": _q_quality_model,
+        "text_bpe_merges": _q_bpe_merges,
+        "text_bpe_tokens": _q_bpe_tokens,
         "text_vocab_by_lang_hll": _q_vocab_by_lang_hll,
         "smp_corpus_splits": _q_corpus_splits,
         "text_vocab_by_lang_fm": _q_vocab_by_lang_fm,
@@ -2772,6 +2799,18 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["text_quality_model"] = hashed_linear_score_sql(
         "SELECT doc_id, text FROM documents"
+    )
+
+    from ps_projekt_pagerank_spark.functions.bpe import (
+        bpe_encode_learned_sql,
+        bpe_learn_merges_sql,
+    )
+
+    sqls["text_bpe_merges"] = bpe_learn_merges_sql(
+        "SELECT doc_id, text FROM documents", N_BPE_MERGES
+    )
+    sqls["text_bpe_tokens"] = bpe_encode_learned_sql(
+        "SELECT doc_id, text FROM documents", N_BPE_MERGES
     )
     sqls["text_vocab_hll"] = hll_count_distinct_sql(
         "SELECT v FROM (SELECT unnest(string_split(lower(text), ' ')) AS v "
