@@ -228,6 +228,12 @@ def _q_labelprop(spark, sf_dir):
     return label_propagation(D.block_edges(spark, sf_dir), rounds=5)
 
 
+def _q_louvain(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.louvain import louvain_moves
+
+    return louvain_moves(D.block_edges(spark, sf_dir), rounds=4)
+
+
 def _q_cc_size_hist(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.components import (
         component_size_histogram,
@@ -1752,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_by_lang_fm": _q_vocab_by_lang_fm,
         "text_vocab_coverage": _q_vocab_coverage,
         "lp_labels": _q_labelprop,
+        "lv_communities": _q_louvain,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
         "r4_order_agreement": _q_order_agreement,
@@ -3222,6 +3229,10 @@ def oracle_sql() -> dict[str, str]:
         "CAST(width * height AS BIGINT) AS n_pixels, pixel_sum FROM s"
     )
     sqls["lp_labels"] = _label_prop_sql(5)
+
+    from ps_projekt_pagerank_spark.operators.louvain import louvain_moves_sql
+
+    sqls["lv_communities"] = louvain_moves_sql(_BLOCK, rounds=4)
     sqls["la_anf_reach"] = _anf_sql(_SPARSE, rounds=3)
     sqls["la_harmonic3"] = _harmonic_sql(_SPARSE, rounds=3)
     sqls["la_cocitation_pairs"] = _cocite_sql(
