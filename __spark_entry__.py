@@ -234,6 +234,12 @@ def _q_louvain(spark, sf_dir):
     return louvain_moves(D.block_edges(spark, sf_dir), rounds=4)
 
 
+def _q_matching(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.matching import maximal_matching
+
+    return maximal_matching(D.block_edges(spark, sf_dir))
+
+
 def _q_cc_size_hist(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.components import (
         component_size_histogram,
@@ -1759,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": _q_vocab_coverage,
         "lp_labels": _q_labelprop,
         "lv_communities": _q_louvain,
+        "g_matching": _q_matching,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
         "r4_order_agreement": _q_order_agreement,
@@ -3233,6 +3240,14 @@ def oracle_sql() -> dict[str, str]:
     from ps_projekt_pagerank_spark.operators.louvain import louvain_moves_sql
 
     sqls["lv_communities"] = louvain_moves_sql(_BLOCK, rounds=4)
+
+    from ps_projekt_pagerank_spark.operators.matching import (
+        maximal_matching_sql,
+    )
+
+    # 12 unrolled rounds: the sf0.01 block graph matches dry in <= 8
+    # rounds (measured); extra rounds are empty no-ops by construction
+    sqls["g_matching"] = maximal_matching_sql(_BLOCK, rounds=12)
     sqls["la_anf_reach"] = _anf_sql(_SPARSE, rounds=3)
     sqls["la_harmonic3"] = _harmonic_sql(_SPARSE, rounds=3)
     sqls["la_cocitation_pairs"] = _cocite_sql(
