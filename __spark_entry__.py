@@ -240,6 +240,18 @@ def _q_matching(spark, sf_dir):
     return maximal_matching(D.block_edges(spark, sf_dir))
 
 
+def _q_coarsen_map(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.coarsen import coarsen_map
+
+    return coarsen_map(D.block_edges(spark, sf_dir))
+
+
+def _q_coarsen_edges(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.coarsen import coarsen_edges
+
+    return coarsen_edges(D.block_edges(spark, sf_dir))
+
+
 def _q_cc_size_hist(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.components import (
         component_size_histogram,
@@ -1766,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_labels": _q_labelprop,
         "lv_communities": _q_louvain,
         "g_matching": _q_matching,
+        "g_coarsen_map": _q_coarsen_map,
+        "g_coarsen_edges": _q_coarsen_edges,
         "tri_total": _q_triangles,
         "tri_per_node": _q_triangles_per_node,
         "r4_order_agreement": _q_order_agreement,
@@ -3248,6 +3262,14 @@ def oracle_sql() -> dict[str, str]:
     # 12 unrolled rounds: the sf0.01 block graph matches dry in <= 8
     # rounds (measured); extra rounds are empty no-ops by construction
     sqls["g_matching"] = maximal_matching_sql(_BLOCK, rounds=12)
+
+    from ps_projekt_pagerank_spark.operators.coarsen import (
+        coarsen_edges_sql,
+        coarsen_map_sql,
+    )
+
+    sqls["g_coarsen_map"] = coarsen_map_sql(_BLOCK, match_rounds=12)
+    sqls["g_coarsen_edges"] = coarsen_edges_sql(_BLOCK, match_rounds=12)
     sqls["la_anf_reach"] = _anf_sql(_SPARSE, rounds=3)
     sqls["la_harmonic3"] = _harmonic_sql(_SPARSE, rounds=3)
     sqls["la_cocitation_pairs"] = _cocite_sql(
