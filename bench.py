@@ -397,6 +397,32 @@ def run_suite(spark, sf_dir):
         lambda: k_truss(D.sparse_edges(spark, sf_dir), 3).count(),
     )
 
+    # round-4 additions: Louvain phase-1, maximal matching + contraction
+    # coarsening over the web graph, BPE merge induction over documents
+    from ps_projekt_pagerank_spark.operators.coarsen import coarsen_edges
+    from ps_projekt_pagerank_spark.operators.louvain import louvain_moves
+    from ps_projekt_pagerank_spark.operators.matching import maximal_matching
+    from ps_projekt_pagerank_spark.functions.bpe import bpe_learn_merges
+
+    timed(
+        "louvain4",
+        lambda: louvain_moves(D.web_edges(spark, sf_dir), rounds=4).count(),
+    )
+    timed(
+        "matching",
+        lambda: maximal_matching(D.web_edges(spark, sf_dir)).count(),
+    )
+    timed(
+        "coarsen",
+        lambda: coarsen_edges(D.web_edges(spark, sf_dir)).count(),
+    )
+    timed(
+        "bpe_merges8",
+        lambda: bpe_learn_merges(
+            D.documents(spark, sf_dir).select("doc_id", "text"), 8
+        ).count(),
+    )
+
     # the composed corpus-filter flagship (exact dedup -> chunk cap ->
     # Gopher rule -> weighted sample) as ONE plan over the documents table
     from ps_projekt_pagerank_spark.plans.corpus import corpus_pipeline
