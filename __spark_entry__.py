@@ -1702,6 +1702,34 @@ def _q_ngram_novelty(spark, sf_dir):
     )
 
 
+def _warc_segment_col():
+    # deterministic doc-id-derived segment (url = 'u<doc_id>') so the
+    # DuckDB twin can reproduce segment membership; the production default
+    # (xxhash64(url) % 64) stays the operator's own default
+    return F.substring(F.col("url"), 2, 18).cast("long") % 16
+
+
+def _q_warc_roundtrip(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.warc import warc_roundtrip
+
+    return warc_roundtrip(
+        D.crawl_pages(spark, sf_dir), segment_col=_warc_segment_col()
+    ).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_epoch"),
+        "content_length",
+        "payload_text",
+    )
+
+
+def _q_warc_stats(spark, sf_dir):
+    from ps_projekt_pagerank_spark.sources.warc import warc_segment_stats
+
+    return warc_segment_stats(
+        D.crawl_pages(spark, sf_dir), segment_col=_warc_segment_col()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1871,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_crawler_traps": _q_trap_hosts,
         "text_lang_quantiles": _q_grouped_quantiles,
         "text_ngram_novelty": _q_ngram_novelty,
+        "s_warc_roundtrip": _q_warc_roundtrip,
+        "s_warc_stats": _q_warc_stats,
     }
 
 
@@ -3846,6 +3876,35 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT DISTINCT dst AS id FROM ({_WEB}) WHERE dst % 100 = 1) b",
         num_landmarks=4,
         max_depth=6,
+    )
+    # WARC round-trip: the parsed records must equal the pages the builder
+    # serialized, so the twin reconstructs the pages directly (same
+    # construction as CRAWL_PAGES_SQL) — parse(build(x)) == x is the claim
+    _wh1 = "'<html><body><p>' || text || '</p></body></html>'"
+    _wh2 = "'<html><body><p>' || text || ' updated</p></body></html>'"
+    sqls["s_warc_roundtrip"] = (
+        "SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, "
+        "1704067200 + (doc_id % 97) * 3600 AS warc_epoch, "
+        f"octet_length(CAST({_wh1} AS BLOB)) AS content_length, "
+        f"{_wh1} AS payload_text FROM documents "
+        "UNION ALL "
+        "SELECT 'u' || CAST(doc_id AS VARCHAR), "
+        "1704067200 + (doc_id % 97) * 3600 + 720000, "
+        f"octet_length(CAST({_wh2} AS BLOB)), {_wh2} "
+        "FROM documents WHERE doc_id % 3 = 0"
+    )
+    sqls["s_warc_stats"] = (
+        "WITH rec AS ("
+        "SELECT doc_id % 16 AS segment_id, "
+        "'u' || CAST(doc_id AS VARCHAR) AS url, "
+        f"octet_length(CAST({_wh1} AS BLOB)) AS len FROM documents "
+        "UNION ALL "
+        "SELECT doc_id % 16, 'u' || CAST(doc_id AS VARCHAR), "
+        f"octet_length(CAST({_wh2} AS BLOB)) FROM documents "
+        "WHERE doc_id % 3 = 0) "
+        "SELECT segment_id, COUNT(*) AS n_records, "
+        "CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls, "
+        "SUM(len) AS payload_bytes FROM rec GROUP BY segment_id"
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
