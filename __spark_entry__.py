@@ -1730,6 +1730,23 @@ def _q_warc_stats(spark, sf_dir):
     )
 
 
+def _q_sitemap_parse(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.sitemaps import parse_sitemaps
+
+    return parse_sitemaps(D.sitemap_pages(spark, sf_dir))
+
+
+def _q_sitemap_recrawl(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.sitemaps import (
+        parse_sitemaps,
+        sitemap_recrawl_stats,
+    )
+
+    return sitemap_recrawl_stats(
+        parse_sitemaps(D.sitemap_pages(spark, sf_dir)), as_of="2024-01-15"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1901,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": _q_ngram_novelty,
         "s_warc_roundtrip": _q_warc_roundtrip,
         "s_warc_stats": _q_warc_stats,
+        "s_sitemap_parse": _q_sitemap_parse,
+        "s_sitemap_recrawl": _q_sitemap_recrawl,
     }
 
 
@@ -3905,6 +3924,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT segment_id, COUNT(*) AS n_records, "
         "CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls, "
         "SUM(len) AS payload_bytes FROM rec GROUP BY segment_id"
+    )
+    # sitemap parse: the XML never crosses engines — the twin reconstructs
+    # the parsed rows from documents, so the Spark side proves its regexp
+    # extraction inverts the builder exactly (incl. NULL optional fields)
+    sqls["s_sitemap_parse"] = D.SITEMAP_PARSED_SQL
+    sqls["s_sitemap_recrawl"] = (
+        f"WITH p AS ({D.SITEMAP_PARSED_SQL}) "
+        "SELECT host, COUNT(*) AS n_urls, "
+        "SUM(CASE WHEN lastmod < DATE '2024-01-15' THEN 1 ELSE 0 END) "
+        "AS n_stale, "
+        "round(avg(CASE WHEN changefreq = 'daily' THEN 1 ELSE 0 END), 6) "
+        "AS frac_daily FROM p GROUP BY host"
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)

@@ -645,3 +645,76 @@ def trap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return honest.unionAll(trap)
+
+
+@_cacheable
+def sitemap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, xml) — one sitemaps.org 0.9 XML document per source host,
+    listing that host's docs with deterministic lastmod/changefreq/
+    priority hints (every 6th entry omits the optional <lastmod>). The
+    fixture for functions.sitemaps; the gate twin reconstructs the
+    PARSED rows directly from documents, so parse(build(x)) == x."""
+    docs = documents(spark, sf_dir)
+    did = F.col("doc_id")
+    lastmod = F.when(
+        did % 6 != 5,
+        F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    changefreq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+        (did % 3 + 1).cast("int"),
+    )
+    entry = F.concat(
+        F.lit("\n  <url>\n    <loc>https://"),
+        F.col("source"),
+        F.lit(".example/p"),
+        did.cast("string"),
+        F.lit("</loc>\n    "),
+        lastmod,
+        F.lit("\n    <changefreq>"),
+        changefreq,
+        F.lit("</changefreq>\n    <priority>0."),
+        (did % 5 + 3).cast("string"),
+        F.lit("</priority>\n  </url>"),
+    )
+    return (
+        docs.select(
+            F.col("source").alias("host"),
+            F.struct(did.alias("doc_id"), entry.alias("e")).alias("r"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list("r")), lambda s: s["e"]
+                    ),
+                ),
+                F.lit("\n</urlset>"),
+            ).alias("xml")
+        )
+    )
+
+
+# the parsed-output twin (the XML itself never crosses engines)
+SITEMAP_PARSED_SQL = (
+    "SELECT source AS host, "
+    "'https://' || source || '.example/p' || CAST(doc_id AS VARCHAR) "
+    "AS loc, "
+    "CASE WHEN doc_id % 6 = 5 THEN NULL ELSE CAST('2024-01-' || "
+    "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE) END "
+    "AS lastmod, "
+    "CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' "
+    "ELSE 'monthly' END AS changefreq, "
+    "CAST('0.' || CAST(doc_id % 5 + 3 AS VARCHAR) AS DOUBLE) AS priority "
+    "FROM documents"
+)
