@@ -1747,6 +1747,16 @@ def _q_sitemap_recrawl(spark, sf_dir):
     )
 
 
+def _q_doc_bm25(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.search import doc_bm25_search
+
+    return doc_bm25_search(
+        D.documents(spark, sf_dir).select("doc_id", "text"),
+        ["window", "shuffle", "hash"],
+        k=15,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g1_node_ids": _q_node_ids,
@@ -1920,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_warc_stats": _q_warc_stats,
         "s_sitemap_parse": _q_sitemap_parse,
         "s_sitemap_recrawl": _q_sitemap_recrawl,
+        "text_doc_bm25": _q_doc_bm25,
     }
 
 
@@ -3936,6 +3947,13 @@ def oracle_sql() -> dict[str, str]:
         "AS n_stale, "
         "round(avg(CASE WHEN changefreq = 'daily' THEN 1 ELSE 0 END), 6) "
         "AS frac_daily FROM p GROUP BY host"
+    )
+    from ps_projekt_pagerank_spark.functions.search import doc_bm25_sql
+
+    sqls["text_doc_bm25"] = doc_bm25_sql(
+        "SELECT doc_id, text FROM documents",
+        ["window", "shuffle", "hash"],
+        k=15,
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
