@@ -1747,6 +1747,20 @@ def _q_sitemap_recrawl(spark, sf_dir):
     )
 
 
+def _q_rank_churn(spark, sf_dir):
+    """Yesterday-vs-today rank churn: 'yesterday' is 3 sweeps on the full
+    web graph, 'today' is 4 sweeps on the graph with every (src+dst)%13==0
+    edge gone (a deterministic crawl delta — some nodes vanish entirely,
+    so the id-churn counters have real work)."""
+    from ps_projekt_pagerank_spark.plans.reporting import rank_churn
+
+    edges = D.web_edges(spark, sf_dir)
+    old = pagerank_fixed(edges, 3, graph=_web_graph(spark, sf_dir))
+    new_edges = edges.where((F.col("src") + F.col("dst")) % 13 != 0)
+    new = pagerank_fixed(new_edges, 4)
+    return rank_churn(old, new, k=10)
+
+
 def _q_doc_bm25(spark, sf_dir):
     from ps_projekt_pagerank_spark.functions.search import doc_bm25_search
 
@@ -1931,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_sitemap_parse": _q_sitemap_parse,
         "s_sitemap_recrawl": _q_sitemap_recrawl,
         "text_doc_bm25": _q_doc_bm25,
+        "r_rank_churn": _q_rank_churn,
     }
 
 
@@ -3947,6 +3962,36 @@ def oracle_sql() -> dict[str, str]:
         "AS n_stale, "
         "round(avg(CASE WHEN changefreq = 'daily' THEN 1 ELSE 0 END), 6) "
         "AS frac_daily FROM p GROUP BY host"
+    )
+    _churn_edges = f"SELECT src, dst FROM ({_WEB}) WHERE (src + dst) % 13 <> 0"
+    sqls["r_rank_churn"] = (
+        f"WITH o0 AS ({_pagerank_fixed_sql(3)}), "
+        f"n0 AS ({_pagerank_fixed_sql(4, edges_sql=_churn_edges)}), "
+        "o AS (SELECT id, round(rank, 9) AS rank_old FROM o0), "
+        "n AS (SELECT id, round(rank, 9) AS rank_new FROM n0), "
+        "c AS (SELECT o.id, rank_old, rank_new FROM o JOIN n USING (id)), "
+        "po AS (SELECT id, row_number() OVER "
+        "(ORDER BY rank_old DESC, id ASC) AS pos_old FROM c), "
+        "pn AS (SELECT id, row_number() OVER "
+        "(ORDER BY rank_new DESC, id ASC) AS pos_new FROM c), "
+        "sp AS (SELECT count(*) AS n_common, CAST(sum((pos_old - pos_new) "
+        "* (pos_old - pos_new)) AS BIGINT) AS sum_d2 "
+        "FROM po JOIN pn USING (id)), "
+        "tko AS (SELECT id FROM o ORDER BY rank_old DESC, id LIMIT 10), "
+        "tkn AS (SELECT id FROM n ORDER BY rank_new DESC, id LIMIT 10), "
+        "ov AS (SELECT count(*) AS k_common FROM tko JOIN tkn USING (id)), "
+        "nw AS (SELECT count(*) AS n_new FROM n "
+        "WHERE id NOT IN (SELECT id FROM o)), "
+        "dr AS (SELECT count(*) AS n_dropped FROM o "
+        "WHERE id NOT IN (SELECT id FROM n)), "
+        "dl AS (SELECT round(max(abs(rank_new - rank_old)), 9) "
+        "AS max_abs_delta FROM c) "
+        "SELECT n_common, n_new, n_dropped, "
+        "CASE WHEN n_common > 1 THEN round(1.0 - (6.0 * sum_d2) / "
+        "(CAST(n_common AS DOUBLE) * (CAST(n_common AS DOUBLE) * "
+        "CAST(n_common AS DOUBLE) - 1.0)), 6) END AS spearman_rho, "
+        "round(k_common / 10.0, 6) AS topk_overlap, max_abs_delta "
+        "FROM sp CROSS JOIN ov CROSS JOIN nw CROSS JOIN dr CROSS JOIN dl"
     )
     from ps_projekt_pagerank_spark.functions.search import doc_bm25_sql
 
