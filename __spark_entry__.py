@@ -1747,6 +1747,22 @@ def _q_sitemap_recrawl(spark, sf_dir):
     )
 
 
+def _q_rewired_edges(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.rewire import (
+        rewire_configuration,
+    )
+
+    return rewire_configuration(D.sparse_edges(spark, sf_dir))
+
+
+def _q_motif_significance(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.rewire import (
+        motif_significance,
+    )
+
+    return motif_significance(D.sparse_edges(spark, sf_dir))
+
+
 def _q_rank_churn(spark, sf_dir):
     """Yesterday-vs-today rank churn: 'yesterday' is 3 sweeps on the full
     web graph, 'today' is 4 sweeps on the graph with every (src+dst)%13==0
@@ -1946,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_sitemap_recrawl": _q_sitemap_recrawl,
         "text_doc_bm25": _q_doc_bm25,
         "r_rank_churn": _q_rank_churn,
+        "g_rewired_edges": _q_rewired_edges,
+        "g_motif_significance": _q_motif_significance,
     }
 
 
@@ -3962,6 +3980,34 @@ def oracle_sql() -> dict[str, str]:
         "AS n_stale, "
         "round(avg(CASE WHEN changefreq = 'daily' THEN 1 ELSE 0 END), 6) "
         "AS frac_daily FROM p GROUP BY host"
+    )
+    from ps_projekt_pagerank_spark.operators.rewire import (
+        rewire_configuration_sql,
+    )
+
+    def _tri_total_sql(edges_sql: str, out_col: str) -> str:
+        return (
+            "SELECT count(*) AS " + out_col + " FROM ("
+            "SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            f"FROM ({edges_sql}) WHERE src <> dst) e1 "
+            "JOIN (SELECT DISTINCT least(src, dst) AS a, "
+            f"greatest(src, dst) AS b FROM ({edges_sql}) WHERE src <> dst) "
+            "e2 ON e1.b = e2.a "
+            "JOIN (SELECT DISTINCT least(src, dst) AS a, "
+            f"greatest(src, dst) AS b FROM ({edges_sql}) WHERE src <> dst) "
+            "e3 ON e3.a = e1.a AND e3.b = e2.b"
+        )
+
+    sqls["g_rewired_edges"] = rewire_configuration_sql(_SPARSE)
+    _rw = rewire_configuration_sql(_SPARSE)
+    sqls["g_motif_significance"] = (
+        f"WITH obs AS ({_tri_total_sql(_SPARSE, 'observed_triangles')}), "
+        f"nul AS ({_tri_total_sql(_rw, 'null_triangles')}) "
+        "SELECT observed_triangles, null_triangles, "
+        "CASE WHEN null_triangles > 0 THEN "
+        "round(CAST(observed_triangles AS DOUBLE) / "
+        "CAST(null_triangles AS DOUBLE), 6) END AS excess_ratio "
+        "FROM obs CROSS JOIN nul"
     )
     _churn_edges = f"SELECT src, dst FROM ({_WEB}) WHERE (src + dst) % 13 <> 0"
     sqls["r_rank_churn"] = (
