@@ -37,15 +37,15 @@ cancel in the gain comparison); isolated / self-loop-only nodes keep
 their own singleton community.
 
 Scale shape: the per-round work is ONE |E|-row join (neighbor labels) +
-two |V|-row aggregations + a per-node window (partitioned by node —
-never global). The symmetric adjacency is built once and persisted;
+two |V|-row aggregations + a per-node max_by hash-agg argmax (map-side
+combinable — no sort). The symmetric adjacency is built once and persisted;
 rounds reuse it, exactly like the PageRank scatter reusing the build-once
 adjacency (operators/graph.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _I64_MAX = (1 << 63) - 1
@@ -132,13 +132,21 @@ def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
                 ).alias("score"),
             )
         )
-        win = Window.partitionBy("id").orderBy(
-            F.col("score").desc(), F.col("c").asc()
-        )
+        # argmax as a HASH AGG (max over the lexicographic (score, -c)
+        # struct = best score, ties to the smallest community id) — a
+        # per-id window compiles to a sort per round; max_by is map-side
+        # combinable and never sorts (measured 41.9 -> 29.4 s on the
+        # sf0.1 louvain4 bench entry in the same host window)
         nxt = (
-            scored.withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") == 1)
-            .select("id", "c")
+            scored.groupBy("id")
+            .agg(
+                F.max_by(
+                    "c",
+                    F.struct(
+                        F.col("score"), (-F.col("c")).alias("nc")
+                    ),
+                ).alias("c")
+            )
             .persist()
         )
         nxt.count()  # materialize before unpersisting the parent
@@ -146,6 +154,7 @@ def louvain_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
         state = nxt
     out = state.select("id", F.col("c").alias("community"))
     sym.unpersist()
+    deg.unpersist()
     return out
 
 
