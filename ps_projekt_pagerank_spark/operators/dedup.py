@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -425,26 +425,64 @@ def embedding_neardup_pairs(
         vecs.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pvec")),
         cents, nprobe, "pid", "pvec",
     ).select("pid", "cell")
-    a = cells.select(F.col("cell"), F.col("pid").alias("id_a"))
-    b = cells.select(
-        F.col("cell").alias("cell2"), F.col("pid").alias("id_b")
+    return _cell_cosine_pairs(cells, vecs, threshold, id_col, vec_col)
+
+
+def _cell_cosine_pairs(
+    cells: DataFrame,
+    vecs: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id_a, id_b) above-threshold cosine pairs sharing >=1 cell.
+
+    The vectors ride INTO the bucket self-join (each appears nprobe
+    times), so cosine filters in the join's own stage and only the
+    surviving pairs are ever shuffled again (the final distinct) — the
+    O(Σ cell²) candidate set never hits a shuffle, which is the term
+    that dominates at corpus scale. Two cost controls on the scoring
+    stage itself (higher-order array lambdas are interpreted, not
+    codegen'd, so per-pair traversals are the unit of cost):
+
+    - norms precompute per VECTOR, not per pair: cosine(a,b) =
+      dot/(‖a‖·‖b‖) evaluates one zip_with traversal per pair instead
+      of three — the same doubles bit-for-bit (the twin's per-pair norm
+      subexpressions have identical values), so the gate is unaffected;
+    - the build side broadcasts explicitly and the probe side is spread
+      across shuffle_partitions — AQE would otherwise coalesce the
+      byte-small probe into ONE task that scores the whole pair space.
+    """
+    vn = vecs.select(
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).alias("pvec"),
+        norm(vec_col).alias("pnorm"),
     )
-    cand = (
+    cv = cells.join(vn, "pid")
+    p = int(cv.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = cv.repartition(p, "pid").select(
+        "cell",
+        F.col("pid").alias("id_a"),
+        F.col("pvec").alias("va"),
+        F.col("pnorm").alias("na"),
+    )
+    b = cv.select(
+        F.col("cell").alias("cell2"),
+        F.col("pid").alias("id_b"),
+        F.col("pvec").alias("vb"),
+        F.col("pnorm").alias("nb"),
+    )
+    return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("cell") == F.col("cell2"))
             & (F.col("id_a") < F.col("id_b")),
         )
+        .where(
+            dot("va", "vb") / (F.col("na") * F.col("nb")) > threshold
+        )
         .select("id_a", "id_b")
         .distinct()
-    )
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .where(cosine("va", "vb") > threshold)
-        .select("id_a", "id_b")
     )
 
 
@@ -500,24 +538,8 @@ def semdedup(
     cents = ivf_centroids(vecs, num_centroids, kmeans_iters, id_col, vec_col)
     pts = vecs.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pvec"))
     cells = _nearest_cells(pts, cents, nprobe, "pid", "pvec")
-    a = cells.select("cell", F.col("pid").alias("id_a"))
-    b = cells.select(F.col("cell").alias("cell2"), F.col("pid").alias("id_b"))
-    cand = (
-        a.join(
-            b,
-            (F.col("cell") == F.col("cell2"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .where(cosine("va", "vb") > threshold)
-        .select("id_a", "id_b")
+    pairs = _cell_cosine_pairs(
+        cells.select("pid", "cell"), vecs, threshold, id_col, vec_col
     )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
