@@ -1747,6 +1747,12 @@ def _q_sitemap_recrawl(spark, sf_dir):
     )
 
 
+def _q_url_spam_features(spark, sf_dir):
+    from ps_projekt_pagerank_spark.functions.urls import url_spam_features
+
+    return url_spam_features(D.frontier_urls(spark, sf_dir))
+
+
 def _q_rewired_edges(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.rewire import (
         rewire_configuration,
@@ -1964,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_rank_churn": _q_rank_churn,
         "g_rewired_edges": _q_rewired_edges,
         "g_motif_significance": _q_motif_significance,
+        "url_spam_features": _q_url_spam_features,
     }
 
 
@@ -3980,6 +3987,43 @@ def oracle_sql() -> dict[str, str]:
         "AS n_stale, "
         "round(avg(CASE WHEN changefreq = 'daily' THEN 1 ELSE 0 END), 6) "
         "AS frac_daily FROM p GROUP BY host"
+    )
+    sqls["url_spam_features"] = (
+        f"WITH u AS ({D.FRONTIER_URLS_SQL}), "
+        "f AS (SELECT url, "
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) "
+        "AS host, "
+        "regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, "
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), "
+        "g AS (SELECT url, CAST(length(url) AS BIGINT) AS url_len, "
+        "CAST(length(path) - length(regexp_replace(path, '/', '', 'g')) "
+        "AS BIGINT) AS path_depth, "
+        "CAST(length(url) - length(regexp_replace(url, '[0-9]', '', 'g')) "
+        "AS BIGINT) AS n_digits, "
+        "CASE WHEN query = '' THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(length(query) - length(regexp_replace(query, '&', '', 'g')) "
+        "+ 1 AS BIGINT) END AS n_params, "
+        "CAST(length(host) - length(regexp_replace(host, '\\.', '', 'g')) "
+        "AS BIGINT) AS subdomain_depth, "
+        "CAST(length(url) - length(regexp_replace(url, '-', '', 'g')) "
+        "AS BIGINT) AS n_hyphens, "
+        "regexp_matches(url, "
+        "'(?i)(phpsessid|jsessionid|sessionid|[?&]sid=)') AS has_session "
+        "FROM f) "
+        "SELECT url, url_len, path_depth, n_digits, "
+        "round(CAST(n_digits AS DOUBLE) / CAST(url_len AS DOUBLE), 6) "
+        "AS digit_ratio, n_params, subdomain_depth, n_hyphens, "
+        "has_session, CAST("
+        "(CASE WHEN path_depth >= 6 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN round(CAST(n_digits AS DOUBLE) / "
+        "CAST(url_len AS DOUBLE), 6) > 0.2 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN n_params >= 3 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN has_session THEN 1 ELSE 0 END) + "
+        "(CASE WHEN subdomain_depth >= 3 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN n_hyphens >= 4 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN url_len >= 80 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS spam_score FROM g"
     )
     from ps_projekt_pagerank_spark.operators.rewire import (
         rewire_configuration_sql,

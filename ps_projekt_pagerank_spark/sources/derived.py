@@ -718,3 +718,71 @@ SITEMAP_PARSED_SQL = (
     "CAST('0.' || CAST(doc_id % 5 + 3 AS VARCHAR) AS DOUBLE) AS priority "
     "FROM documents"
 )
+
+
+FRONTIER_URLS_SQL = (
+    # url-only spam-prior fixture: each residue class plants one signal —
+    # deep path, session-id + params, deep subdomain, digit blob, hyphens
+    "SELECT DISTINCT CASE l_linenumber % 5 "
+    "WHEN 0 THEN 'http://h' || (l_orderkey % 97)::VARCHAR "
+    "|| '.test/a/b/c/d/e/f/p' || (l_partkey % 4999)::VARCHAR "
+    "WHEN 1 THEN 'http://h' || (l_orderkey % 97)::VARCHAR || '.test/p' "
+    "|| (l_partkey % 4999)::VARCHAR || '?phpsessid=' "
+    "|| substr(md5('s' || (l_partkey % 4999)::VARCHAR), 1, 8) "
+    "|| '&ref=' || (l_orderkey % 97)::VARCHAR || '&src=1&n=2' "
+    "WHEN 2 THEN 'http://s' || (l_partkey % 7)::VARCHAR || '.m.h' "
+    "|| (l_orderkey % 97)::VARCHAR || '.test/p' "
+    "|| (l_partkey % 4999)::VARCHAR "
+    "WHEN 3 THEN 'http://h' || (l_orderkey % 97)::VARCHAR || '.test/' "
+    "|| (l_partkey % 4999)::VARCHAR || '90210777/x' "
+    "ELSE 'http://h' || (l_orderkey % 97)::VARCHAR "
+    "|| '.test/page-one-two-three-' || (l_partkey % 4999)::VARCHAR "
+    "END AS url FROM lineitem"
+)
+
+
+@_cacheable
+def frontier_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url) — FRONTIER_URLS_SQL's Spark twin: distinct urls with planted
+    URL-only spam signals for functions.urls.url_spam_features."""
+    li = _lineitem(spark, sf_dir)
+    ok = (F.col("l_orderkey") % 97).cast("string")
+    pk = (F.col("l_partkey") % SPARSE_MOD).cast("string")
+    ln = F.col("l_linenumber") % 5
+    url = (
+        F.when(
+            ln == 0,
+            F.concat(F.lit("http://h"), ok, F.lit(".test/a/b/c/d/e/f/p"), pk),
+        )
+        .when(
+            ln == 1,
+            F.concat(
+                F.lit("http://h"), ok, F.lit(".test/p"), pk,
+                F.lit("?phpsessid="),
+                F.substring(
+                    F.md5(F.concat(F.lit("s"), pk).cast("binary")), 1, 8
+                ),
+                F.lit("&ref="), ok, F.lit("&src=1&n=2"),
+            ),
+        )
+        .when(
+            ln == 2,
+            F.concat(
+                F.lit("http://s"), (F.col("l_partkey") % 7).cast("string"),
+                F.lit(".m.h"), ok, F.lit(".test/p"), pk,
+            ),
+        )
+        .when(
+            ln == 3,
+            F.concat(
+                F.lit("http://h"), ok, F.lit(".test/"), pk,
+                F.lit("90210777/x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://h"), ok, F.lit(".test/page-one-two-three-"), pk
+            )
+        )
+    )
+    return li.select(url.alias("url")).distinct()
