@@ -1747,6 +1747,25 @@ def _q_sitemap_recrawl(spark, sf_dir):
     )
 
 
+_SEARCH_TERMS = ["window", "shuffle", "hash"]
+
+
+def _q_search_rank(spark, sf_dir):
+    from ps_projekt_pagerank_spark.plans.serving import search_with_authority
+
+    ranks = pagerank_fixed(
+        D.web_edges(spark, sf_dir), 4, graph=_web_graph(spark, sf_dir)
+    )
+    return search_with_authority(
+        D.documents(spark, sf_dir).select("doc_id", "text"),
+        ranks,
+        _SEARCH_TERMS,
+        doc_node=F.col("doc_id") % 1400,
+        k_candidates=20,
+        k=10,
+    )
+
+
 def _q_url_spam_features(spark, sf_dir):
     from ps_projekt_pagerank_spark.functions.urls import url_spam_features
 
@@ -1971,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_rewired_edges": _q_rewired_edges,
         "g_motif_significance": _q_motif_significance,
         "url_spam_features": _q_url_spam_features,
+        "e2e_search_rank": _q_search_rank,
     }
 
 
@@ -4089,6 +4109,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text FROM documents",
         ["window", "shuffle", "hash"],
         k=15,
+    )
+    from ps_projekt_pagerank_spark.plans.serving import (
+        search_with_authority_sql,
+    )
+
+    sqls["e2e_search_rank"] = search_with_authority_sql(
+        doc_bm25_sql(
+            "SELECT doc_id, text FROM documents", _SEARCH_TERMS, k=20
+        ),
+        _pagerank_fixed_sql(4),
+        "b.doc_id % 1400",
+        k=10,
     )
     # every queries() key has a SQL twin (round-3 state: the former
     # rows-only four gained md5-variant / unrolled-frozen twins in round 3)
