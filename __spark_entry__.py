@@ -1766,6 +1766,16 @@ def _q_search_rank(spark, sf_dir):
     )
 
 
+def _q_random_failure(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.robustness import (
+        random_failure_robustness,
+    )
+
+    return random_failure_robustness(
+        D.block_edges(spark, sf_dir), fracs=(0.0, 0.3, 0.6)
+    )
+
+
 def _q_url_spam_features(spark, sf_dir):
     from ps_projekt_pagerank_spark.functions.urls import url_spam_features
 
@@ -1991,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_motif_significance": _q_motif_significance,
         "url_spam_features": _q_url_spam_features,
         "e2e_search_rank": _q_search_rank,
+        "g_random_failure": _q_random_failure,
     }
 
 
@@ -4007,6 +4018,13 @@ def oracle_sql() -> dict[str, str]:
         "AS n_stale, "
         "round(avg(CASE WHEN changefreq = 'daily' THEN 1 ELSE 0 END), 6) "
         "AS frac_daily FROM p GROUP BY host"
+    )
+    from ps_projekt_pagerank_spark.operators.robustness import (
+        random_failure_robustness_sql,
+    )
+
+    sqls["g_random_failure"] = random_failure_robustness_sql(
+        _BLOCK, fracs=(0.0, 0.3, 0.6)
     )
     sqls["url_spam_features"] = (
         f"WITH u AS ({D.FRONTIER_URLS_SQL}), "

@@ -150,3 +150,146 @@ def attack_robustness_sql(
             f"/ (SELECT count(*) FROM surv{k}) END AS giant_frac"
         )
     return ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
+
+
+DEFAULT_FRACS = (0.0, 0.3, 0.6)
+
+
+def random_failure_robustness(
+    edges: DataFrame, fracs: Sequence[float] = DEFAULT_FRACS, salt: str = "rf"
+) -> DataFrame:
+    """(p DOUBLE, n_nodes BIGINT, giant_size BIGINT, giant_frac DOUBLE) —
+    the RANDOM-failure half of Albert/Jeong/Barabási: remove each node
+    independently with probability p and measure the surviving giant
+    component. Scale-free graphs barely notice random failure while the
+    targeted curve (``attack_robustness``) collapses — reporting both is
+    the standard resilience contrast.
+
+    Determinism: "random" removal is the repo's md5-uniform draw per node
+    (same contract as weighted_bernoulli_sample) — identical removals at
+    any parallelism, on re-runs, and in any engine with md5; ``salt``
+    gives independent failure scenarios.
+
+    Scale shape: per p, one per-node filter (no shuffle), one anti-join
+    pair, and the min-label CC loop — same as the attack curve.
+    """
+    if any(p < 0 or p > 1 for p in fracs):
+        raise ValueError(f"fracs must be in [0, 1], got {list(fracs)}")
+    simple = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").cast("long").alias("id"))
+        .unionAll(edges.select(F.col("dst").cast("long").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#", F.col("id").cast("string"), F.lit(salt)
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(2**32))
+    spark = edges.sparkSession
+    out = []
+    for p in fracs:
+        p = float(p)
+        failed = nodes.where(u < F.lit(p)).localCheckpoint(eager=True)
+        kept = (
+            simple.join(failed.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(failed.withColumnRenamed("id", "b"), "b", "left_anti")
+        )
+        n_nodes = nodes.join(failed, "id", "left_anti").count()
+        if n_nodes == 0:
+            out.append(
+                spark.createDataFrame(
+                    [(p, 0, 0, 0.0)],
+                    "p double, n_nodes long, giant_size long, "
+                    "giant_frac double",
+                )
+            )
+            continue
+        cc = connected_components(
+            kept.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        giant = (
+            cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .agg(F.coalesce(F.max("size"), F.lit(1)).alias("giant_size"))
+        )
+        out.append(
+            giant.select(
+                F.lit(p).alias("p"),
+                F.lit(n_nodes).cast("long").alias("n_nodes"),
+                F.col("giant_size").cast("long"),
+                F.round(
+                    F.col("giant_size").cast("double")
+                    / F.lit(float(n_nodes)),
+                    6,
+                ).alias("giant_frac"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res
+
+
+def random_failure_robustness_sql(
+    edges_sql: str, fracs: Sequence[float] = DEFAULT_FRACS, salt: str = "rf"
+) -> str:
+    """DuckDB twin — same md5-Bernoulli removal and recursive closure."""
+    parts = [
+        f"WITH RECURSIVE raw AS ({edges_sql})",
+        "simple AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM raw "
+        "UNION ALL SELECT dst AS id FROM raw))",
+        "draw AS (SELECT id, CAST(CAST('0x' || substr(md5("
+        f"CAST(id AS VARCHAR) || '#{salt}'), 1, 8) AS BIGINT) AS DOUBLE) "
+        "/ 4294967296.0 AS u FROM nodes)",
+    ]
+    selects = []
+    for i, p in enumerate(fracs):
+        p = float(p)
+        parts += [
+            f"fail{i} AS (SELECT id FROM draw WHERE u < {p!r})",
+            f"kept{i} AS (SELECT a, b FROM simple WHERE "
+            f"a NOT IN (SELECT id FROM fail{i}) "
+            f"AND b NOT IN (SELECT id FROM fail{i}))",
+            f"sym{i}(a, b) AS (SELECT a, b FROM kept{i} "
+            f"UNION SELECT b, a FROM kept{i})",
+            f"reach{i}(a, b) AS (SELECT a, b FROM sym{i} "
+            f"UNION SELECT r.a, s.b FROM reach{i} r "
+            f"JOIN sym{i} s ON r.b = s.a)",
+            f"surv{i} AS (SELECT id FROM nodes WHERE "
+            f"id NOT IN (SELECT id FROM fail{i}))",
+            f"comp{i} AS (SELECT n.id, least(n.id, coalesce(min(r.b), "
+            f"n.id)) AS component FROM surv{i} n "
+            f"LEFT JOIN reach{i} r ON r.a = n.id GROUP BY n.id)",
+            f"sz{i} AS (SELECT component, count(*) AS size FROM comp{i} "
+            "GROUP BY component)",
+        ]
+        selects.append(
+            f"SELECT CAST({p!r} AS DOUBLE) AS p, "
+            f"(SELECT count(*) FROM surv{i}) AS n_nodes, "
+            f"coalesce((SELECT max(size) FROM sz{i}), 1) AS giant_size, "
+            f"CASE WHEN (SELECT count(*) FROM surv{i}) = 0 THEN 0.0 ELSE "
+            f"round(CAST(coalesce((SELECT max(size) FROM sz{i}), 1) "
+            f"AS DOUBLE) / (SELECT count(*) FROM surv{i}), 6) END "
+            "AS giant_frac"
+        )
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
