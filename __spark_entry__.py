@@ -1766,6 +1766,15 @@ def _q_search_rank(spark, sf_dir):
     )
 
 
+def _q_stupid_backoff(spark, sf_dir):
+    """Held-out LM scoring: the model trains on even doc_ids, every doc
+    is scored — odd docs exercise the backoff path for real."""
+    docs = D.documents(spark, sf_dir).select("doc_id", "text")
+    return tx.lm_stupid_backoff_stats(
+        docs, docs.where(F.col("doc_id") % 2 == 0)
+    )
+
+
 def _q_random_failure(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.robustness import (
         random_failure_robustness,
@@ -2002,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam_features": _q_url_spam_features,
         "e2e_search_rank": _q_search_rank,
         "g_random_failure": _q_random_failure,
+        "text_lm_stupid_backoff": _q_stupid_backoff,
     }
 
 
@@ -4018,6 +4028,10 @@ def oracle_sql() -> dict[str, str]:
         "AS n_stale, "
         "round(avg(CASE WHEN changefreq = 'daily' THEN 1 ELSE 0 END), 6) "
         "AS frac_daily FROM p GROUP BY host"
+    )
+    sqls["text_lm_stupid_backoff"] = tx.lm_stupid_backoff_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
     )
     from ps_projekt_pagerank_spark.operators.robustness import (
         random_failure_robustness_sql,

@@ -985,3 +985,137 @@ def bpe_ish_token_stats_sql(docs_sql: str) -> str:
         "AS DOUBLE), 6) END AS fertility "
         f"FROM ({docs_sql})"
     )
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair (same explode
+    as lm_bigram_surprisal_stats; factored for the backoff scorer)."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokens(F.lower(text_col)), lambda t: t != "").alias("toks"),
+    )
+    n_sz = F.size("toks")
+    return (
+        toks.select(
+            "doc_id",
+            F.when(
+                n_sz >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), n_sz - 2),
+                    lambda i: F.struct(
+                        F.element_at("toks", i + 1).alias("w1"),
+                        F.element_at("toks", i + 2).alias("w2"),
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            .alias("bg"),
+        )
+        .select("doc_id", F.explode("bg").alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+
+
+def lm_stupid_backoff_stats(
+    docs: DataFrame, model_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_backoff, bits_per_bigram) — stupid-backoff
+    bigram scoring (Brants et al., EMNLP 2007: the web-scale LM that
+    replaces discounting with a raw-count backoff chain) of ``docs``
+    against a model trained on ``model_docs`` — at last a HELD-OUT
+    scorer: the surprisal ops score the corpus against itself, where
+    every bigram is seen by construction and backoff never fires.
+
+    Per adjacent pair (x, y): if the model saw the bigram, bits =
+    floor(log2(c(x)/c(xy))); else back off to the unigram with a fixed
+    +1-bit penalty, bits = 1 + floor(log2(N/c(y))) (documented deviation
+    from the paper: α = 0.5 instead of 0.4, so the penalty is an exact
+    integer bit and the whole chain stays engine-portable int64; OOV y
+    uses c = 1). ``n_backoff`` counts backed-off pairs — the
+    train/serve-divergence signal. One IEEE division at the end.
+
+    Scale: the model is two hash aggs (bigram + unigram counts); scoring
+    is three equi-joins keyed on token strings — all map-side
+    combinable, no windows, no Python.
+    """
+    big_m = _doc_bigrams(model_docs, text_col)
+    cxy = big_m.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
+    cx = cxy.groupBy("w1").agg(F.sum("cxy").alias("cx"))
+    toks_m = model_docs.select(
+        F.explode(F.filter(tokens(F.lower(text_col)), lambda t: t != ""))
+        .alias("tok")
+    )
+    cy = toks_m.groupBy("tok").agg(F.count("*").alias("cy"))
+    n_row = toks_m.agg(F.count("*").alias("n_model"))
+    big = _doc_bigrams(docs, text_col)
+    j = (
+        big.join(cxy, ["w1", "w2"], "left")
+        .join(cx, "w1", "left")
+        .join(cy.withColumnRenamed("tok", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(n_row))
+    )
+    seen = F.col("cxy").isNotNull()
+    bits = F.when(
+        seen,
+        F.length(F.bin(F.expr("cx div cxy"))).cast("long") - 1,
+    ).otherwise(
+        F.lit(1)
+        + F.length(
+            F.bin(F.expr("n_model div coalesce(cy, CAST(1 AS BIGINT))"))
+        ).cast("long")
+        - 1
+    )
+    per = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum((~seen).cast("long")).alias("n_backoff"),
+        F.sum(bits).alias("sum_bits"),
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce("n_backoff", F.lit(0).cast("long")).alias("n_backoff"),
+        F.round(
+            F.col("sum_bits").cast("double")
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("bits_per_bigram"),
+    )
+
+
+def lm_stupid_backoff_sql(docs_sql: str, model_sql: str) -> str:
+    """DuckDB twin — identical bigram explode, backoff rule, bin chains."""
+    bg = (
+        "SELECT doc_id, toks[CAST(i + 1 AS INT)] AS w1, "
+        "toks[CAST(i + 2 AS INT)] AS w2 FROM "
+        "(SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM "
+        "(SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "t -> t <> '') AS toks FROM {src}))"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, text FROM ({docs_sql})), "
+        f"m AS (SELECT doc_id, text FROM ({model_sql})), "
+        f"bgm AS ({bg.format(src='m')}), "
+        "cxy AS (SELECT w1, w2, count(*) AS cxy FROM bgm GROUP BY w1, w2), "
+        "cx AS (SELECT w1, CAST(sum(cxy) AS BIGINT) AS cx FROM cxy "
+        "GROUP BY w1), "
+        "tkm AS (SELECT unnest(list_filter(string_split(lower(text), ' '), "
+        "t -> t <> '')) AS tok FROM m), "
+        "cy AS (SELECT tok, count(*) AS cy FROM tkm GROUP BY tok), "
+        "nm AS (SELECT count(*) AS n_model FROM tkm), "
+        f"bgd AS ({bg.format(src='d')}), "
+        "j AS (SELECT bgd.doc_id, cxy.cxy, cx.cx, cy.cy, nm.n_model "
+        "FROM bgd LEFT JOIN cxy ON bgd.w1 = cxy.w1 AND bgd.w2 = cxy.w2 "
+        "LEFT JOIN cx ON bgd.w1 = cx.w1 "
+        "LEFT JOIN cy ON bgd.w2 = cy.tok CROSS JOIN nm), "
+        "per AS (SELECT doc_id, count(*) AS n_bigrams, "
+        "CAST(sum(CASE WHEN cxy IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_backoff, "
+        "CAST(sum(CASE WHEN cxy IS NOT NULL THEN "
+        "length(bin(cx // cxy)) - 1 ELSE "
+        "1 + length(bin(n_model // coalesce(cy, 1))) - 1 END) AS BIGINT) "
+        "AS sum_bits FROM j GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, "
+        "coalesce(p.n_backoff, 0) AS n_backoff, "
+        "round(CAST(p.sum_bits AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE), 6) "
+        "AS bits_per_bigram FROM d LEFT JOIN per p USING (doc_id)"
+    )
