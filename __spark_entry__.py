@@ -1766,6 +1766,16 @@ def _q_search_rank(spark, sf_dir):
     )
 
 
+def _q_frontier_plan(spark, sf_dir):
+    from ps_projekt_pagerank_spark.plans.frontier import (
+        sitemap_frontier_plan,
+    )
+
+    return sitemap_frontier_plan(
+        D.sitemap_pages(spark, sf_dir), urls_per_round=4, max_spam_score=2
+    )
+
+
 def _q_stupid_backoff(spark, sf_dir):
     """Held-out LM scoring: the model trains on even doc_ids, every doc
     is scored — odd docs exercise the backoff path for real."""
@@ -2012,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_search_rank": _q_search_rank,
         "g_random_failure": _q_random_failure,
         "text_lm_stupid_backoff": _q_stupid_backoff,
+        "e2e_frontier_plan": _q_frontier_plan,
     }
 
 
@@ -4029,6 +4040,13 @@ def oracle_sql() -> dict[str, str]:
         "round(avg(CASE WHEN changefreq = 'daily' THEN 1 ELSE 0 END), 6) "
         "AS frac_daily FROM p GROUP BY host"
     )
+    from ps_projekt_pagerank_spark.plans.frontier import (
+        sitemap_frontier_plan_sql,
+    )
+
+    sqls["e2e_frontier_plan"] = sitemap_frontier_plan_sql(
+        D.SITEMAP_PARSED_SQL, urls_per_round=4, max_spam_score=2
+    )
     sqls["text_lm_stupid_backoff"] = tx.lm_stupid_backoff_sql(
         "SELECT doc_id, text FROM documents",
         "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
@@ -4040,42 +4058,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["g_random_failure"] = random_failure_robustness_sql(
         _BLOCK, fracs=(0.0, 0.3, 0.6)
     )
-    sqls["url_spam_features"] = (
-        f"WITH u AS ({D.FRONTIER_URLS_SQL}), "
-        "f AS (SELECT url, "
-        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) "
-        "AS host, "
-        "regexp_extract(url, "
-        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, "
-        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), "
-        "g AS (SELECT url, CAST(length(url) AS BIGINT) AS url_len, "
-        "CAST(length(path) - length(regexp_replace(path, '/', '', 'g')) "
-        "AS BIGINT) AS path_depth, "
-        "CAST(length(url) - length(regexp_replace(url, '[0-9]', '', 'g')) "
-        "AS BIGINT) AS n_digits, "
-        "CASE WHEN query = '' THEN CAST(0 AS BIGINT) ELSE "
-        "CAST(length(query) - length(regexp_replace(query, '&', '', 'g')) "
-        "+ 1 AS BIGINT) END AS n_params, "
-        "CAST(length(host) - length(regexp_replace(host, '\\.', '', 'g')) "
-        "AS BIGINT) AS subdomain_depth, "
-        "CAST(length(url) - length(regexp_replace(url, '-', '', 'g')) "
-        "AS BIGINT) AS n_hyphens, "
-        "regexp_matches(url, "
-        "'(?i)(phpsessid|jsessionid|sessionid|[?&]sid=)') AS has_session "
-        "FROM f) "
-        "SELECT url, url_len, path_depth, n_digits, "
-        "round(CAST(n_digits AS DOUBLE) / CAST(url_len AS DOUBLE), 6) "
-        "AS digit_ratio, n_params, subdomain_depth, n_hyphens, "
-        "has_session, CAST("
-        "(CASE WHEN path_depth >= 6 THEN 1 ELSE 0 END) + "
-        "(CASE WHEN round(CAST(n_digits AS DOUBLE) / "
-        "CAST(url_len AS DOUBLE), 6) > 0.2 THEN 1 ELSE 0 END) + "
-        "(CASE WHEN n_params >= 3 THEN 1 ELSE 0 END) + "
-        "(CASE WHEN has_session THEN 1 ELSE 0 END) + "
-        "(CASE WHEN subdomain_depth >= 3 THEN 1 ELSE 0 END) + "
-        "(CASE WHEN n_hyphens >= 4 THEN 1 ELSE 0 END) + "
-        "(CASE WHEN url_len >= 80 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS spam_score FROM g"
+    from ps_projekt_pagerank_spark.functions.urls import (
+        url_spam_features_sql,
+    )
+
+    sqls["url_spam_features"] = url_spam_features_sql(
+        D.FRONTIER_URLS_SQL
     )
     from ps_projekt_pagerank_spark.operators.rewire import (
         rewire_configuration_sql,

@@ -218,3 +218,44 @@ def url_spam_features(urls, url_col: str = "url"):
         has_session.alias("has_session"),
         score.cast("long").alias("spam_score"),
     )
+
+
+def url_spam_features_sql(urls_sql: str) -> str:
+    """ANSI twin of url_spam_features over a (url) relation."""
+    return (
+        f"WITH u AS ({urls_sql}), "
+        "f AS (SELECT url, "
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) "
+        "AS host, "
+        "regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, "
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), "
+        "g AS (SELECT url, CAST(length(url) AS BIGINT) AS url_len, "
+        "CAST(length(path) - length(regexp_replace(path, '/', '', 'g')) "
+        "AS BIGINT) AS path_depth, "
+        "CAST(length(url) - length(regexp_replace(url, '[0-9]', '', 'g')) "
+        "AS BIGINT) AS n_digits, "
+        "CASE WHEN query = '' THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(length(query) - length(regexp_replace(query, '&', '', 'g')) "
+        "+ 1 AS BIGINT) END AS n_params, "
+        "CAST(length(host) - length(regexp_replace(host, '\\.', '', 'g')) "
+        "AS BIGINT) AS subdomain_depth, "
+        "CAST(length(url) - length(regexp_replace(url, '-', '', 'g')) "
+        "AS BIGINT) AS n_hyphens, "
+        "regexp_matches(url, "
+        "'(?i)(phpsessid|jsessionid|sessionid|[?&]sid=)') AS has_session "
+        "FROM f) "
+        "SELECT url, url_len, path_depth, n_digits, "
+        "round(CAST(n_digits AS DOUBLE) / CAST(url_len AS DOUBLE), 6) "
+        "AS digit_ratio, n_params, subdomain_depth, n_hyphens, "
+        "has_session, CAST("
+        "(CASE WHEN path_depth >= 6 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN round(CAST(n_digits AS DOUBLE) / "
+        "CAST(url_len AS DOUBLE), 6) > 0.2 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN n_params >= 3 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN has_session THEN 1 ELSE 0 END) + "
+        "(CASE WHEN subdomain_depth >= 3 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN n_hyphens >= 4 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN url_len >= 80 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS spam_score FROM g"
+    )
