@@ -1766,6 +1766,14 @@ def _q_search_rank(spark, sf_dir):
     )
 
 
+def _q_transitivity(spark, sf_dir):
+    from ps_projekt_pagerank_spark.operators.triangles import (
+        global_transitivity,
+    )
+
+    return global_transitivity(D.sparse_edges(spark, sf_dir))
+
+
 def _q_frontier_plan(spark, sf_dir):
     from ps_projekt_pagerank_spark.plans.frontier import (
         sitemap_frontier_plan,
@@ -2023,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_random_failure": _q_random_failure,
         "text_lm_stupid_backoff": _q_stupid_backoff,
         "e2e_frontier_plan": _q_frontier_plan,
+        "g_transitivity": _q_transitivity,
     }
 
 
@@ -4039,6 +4048,21 @@ def oracle_sql() -> dict[str, str]:
         "AS n_stale, "
         "round(avg(CASE WHEN changefreq = 'daily' THEN 1 ELSE 0 END), 6) "
         "AS frac_daily FROM p GROUP BY host"
+    )
+    sqls["g_transitivity"] = (
+        "WITH simple AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({_SPARSE}) WHERE src <> dst), "
+        "deg AS (SELECT id, count(*) AS d FROM (SELECT a AS id FROM simple "
+        "UNION ALL SELECT b AS id FROM simple) GROUP BY id), "
+        "w AS (SELECT CAST(coalesce(sum(d * (d - 1)), 0) // 2 AS BIGINT) "
+        "AS n_wedges FROM deg), "
+        "t AS (SELECT count(*) AS n_triangles FROM simple e1 "
+        "JOIN simple e2 ON e1.b = e2.a "
+        "JOIN simple e3 ON e3.a = e1.a AND e3.b = e2.b) "
+        "SELECT n_wedges, n_triangles, "
+        "CASE WHEN n_wedges > 0 THEN round(3.0 * "
+        "CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 9) END "
+        "AS transitivity FROM w CROSS JOIN t"
     )
     from ps_projekt_pagerank_spark.plans.frontier import (
         sitemap_frontier_plan_sql,

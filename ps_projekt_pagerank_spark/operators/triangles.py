@@ -529,3 +529,53 @@ def k_truss_sql(edges_sql: str, k: int, rounds: int) -> str:
             f"WHERE coalesce(s.support, 0) >= {int(k) - 2})",
         ]
     return ",\n".join(parts) + f"\nSELECT a, b FROM t{rounds}"
+
+
+def global_transitivity(edges: DataFrame) -> DataFrame:
+    """One row (n_wedges BIGINT, n_triangles BIGINT, transitivity DOUBLE)
+    — the GLOBAL clustering coefficient C = 3·triangles / wedges
+    (Newman's transitivity ratio; a different statistic from the
+    per-node Watts-Strogatz coefficient above — wedge-heavy hubs drag C
+    far below the mean local coefficient on web graphs).
+
+    Wedges come from one degree agg on the simple undirected view —
+    Σ deg·(deg−1)/2 as exact BIGINTs — and the triangle count reuses the
+    degree-ordered enumeration; the ratio is one IEEE division rounded
+    9 dp. Scale: one hash agg beyond triangle counting.
+    """
+    simple = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        simple.select(F.col("a").alias("id"))
+        .unionAll(simple.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Σ d·(d−1) is even term-by-term, so the integer div by 2 is exact —
+    # never a double sum (inexact past 2^53 wedges)
+    wedges = deg.agg(
+        F.expr("coalesce(sum(d * (d - 1)), 0) div 2")
+        .cast("long")
+        .alias("n_wedges")
+    )
+    tri = triangles_total(edges).select(
+        F.col("triangles").alias("n_triangles")
+    )
+    return wedges.crossJoin(tri).select(
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                9,
+            ),
+        ).alias("transitivity"),
+    )
