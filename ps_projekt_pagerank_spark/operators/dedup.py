@@ -434,24 +434,37 @@ def _cell_cosine_pairs(
     threshold: float,
     id_col: str,
     vec_col: str,
+    max_cell_rows: int = 4096,
 ) -> DataFrame:
     """(id_a, id_b) above-threshold cosine pairs sharing >=1 cell.
 
-    The vectors ride INTO the bucket self-join (each appears nprobe
-    times), so cosine filters in the join's own stage and only the
-    surviving pairs are ever shuffled again (the final distinct) — the
-    O(Σ cell²) candidate set never hits a shuffle, which is the term
-    that dominates at corpus scale. Two cost controls on the scoring
-    stage itself (higher-order array lambdas are interpreted, not
-    codegen'd, so per-pair traversals are the unit of cost):
+    Cell-partitioned SHUFFLE join — neither side is ever broadcast, so
+    the plan survives corpora where the vector table is O(10⁹) rows
+    (a broadcast of the corpus side would hit Spark's 8 GB table limit
+    and the driver's memory long before that). Both sides repartition
+    by the composite bucket key with an EXPLICIT partition count
+    (REPARTITION_BY_NUM), which (a) lets the join reuse the exchange
+    (EnsureRequirements sees the required hash distribution already
+    satisfied) and (b) pins AQE so it cannot coalesce the byte-small
+    probe shuffle into one task that would score the whole pair space.
 
-    - norms precompute per VECTOR, not per pair: cosine(a,b) =
-      dot/(‖a‖·‖b‖) evaluates one zip_with traversal per pair instead
-      of three — the same doubles bit-for-bit (the twin's per-pair norm
-      subexpressions have identical values), so the gate is unaffected;
-    - the build side broadcasts explicitly and the probe side is spread
-      across shuffle_partitions — AQE would otherwise coalesce the
-      byte-small probe into ONE task that scores the whole pair space.
+    Oversized cells sub-bucket (triangle self-join partitioning): a
+    cell with n > ``max_cell_rows`` members splits into s = ⌈n/max⌉
+    hash sub-buckets; side A in bucket g covers keys (g, j) for j ≥ g,
+    side B in bucket g covers keys (i, g) for i ≤ g, so every unordered
+    member pair is scored under exactly ONE (cell, i, j) key — total
+    comparisons stay n²/2 while the largest single task shrinks from n²
+    to (n/s)². Same pattern as the gather salting in
+    ``graph.build_graph``; for cells ≤ max the key degenerates to
+    (cell, g, g) with zero replication. The output pair SET is a pure
+    re-partitioning of the same candidate space, so the DuckDB twin
+    (cell-share + cosine, no buckets) is unchanged.
+
+    Cost controls kept from the previous revision: norms precompute per
+    VECTOR, not per pair — cosine(a,b) = dot/(‖a‖·‖b‖) is one zip_with
+    traversal per pair instead of three (higher-order array lambdas are
+    interpreted, not codegen'd), bit-identical doubles so the gate is
+    unaffected.
     """
     vn = vecs.select(
         F.col(id_col).alias("pid"),
@@ -459,29 +472,57 @@ def _cell_cosine_pairs(
         norm(vec_col).alias("pnorm"),
     )
     cv = cells.join(vn, "pid")
-    p = int(cv.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    a = cv.repartition(p, "pid").select(
-        "cell",
-        F.col("pid").alias("id_a"),
-        F.col("pvec").alias("va"),
-        F.col("pnorm").alias("na"),
+    # K·nprobe rows — the only broadcast left in this plan, and it is
+    # size-bounded by the centroid count, not the corpus.
+    sizes = cv.groupBy("cell").agg(
+        F.greatest(F.lit(1), F.ceil(F.count("*") / max_cell_rows))
+        .cast("int")
+        .alias("nsub")
     )
-    b = cv.select(
-        F.col("cell").alias("cell2"),
-        F.col("pid").alias("id_b"),
-        F.col("pvec").alias("vb"),
-        F.col("pnorm").alias("nb"),
+    cvb = cv.join(F.broadcast(sizes), "cell").withColumn(
+        "g", F.pmod(F.xxhash64("pid"), F.col("nsub")).cast("int")
+    )
+    p = int(cv.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = (
+        cvb.select(
+            "cell",
+            F.col("g").alias("bi"),
+            "nsub",
+            F.col("pid").alias("id_a"),
+            F.col("pvec").alias("va"),
+            F.col("pnorm").alias("na"),
+        )
+        .withColumn("bj", F.explode(F.sequence("bi", F.col("nsub") - 1)))
+        .repartition(p, "cell", "bi", "bj")
+    )
+    b = (
+        cvb.select(
+            F.col("cell").alias("cell2"),
+            F.col("g").alias("bj2"),
+            F.col("pid").alias("id_b"),
+            F.col("pvec").alias("vb"),
+            F.col("pnorm").alias("nb"),
+        )
+        .withColumn("bi2", F.explode(F.sequence(F.lit(0), F.col("bj2"))))
+        .repartition(p, "cell2", "bi2", "bj2")
     )
     return (
-        a.join(
-            F.broadcast(b),
+        a.hint("shuffle_hash")
+        .join(
+            b,
             (F.col("cell") == F.col("cell2"))
-            & (F.col("id_a") < F.col("id_b")),
+            & (F.col("bi") == F.col("bi2"))
+            & (F.col("bj") == F.col("bj2")),
         )
-        .where(
-            dot("va", "vb") / (F.col("na") * F.col("nb")) > threshold
+        # off-diagonal keys see each unordered pair once (orientation is
+        # bucket-determined, not id-determined); the diagonal sees both
+        # orientations, so only there the id order dedups.
+        .where((F.col("bi") < F.col("bj")) | (F.col("id_a") < F.col("id_b")))
+        .where(dot("va", "vb") / (F.col("na") * F.col("nb")) > threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
         )
-        .select("id_a", "id_b")
         .distinct()
     )
 

@@ -381,3 +381,53 @@ def test_semdedup_groups_and_outlier_survivor(spark):
         assert out[i]["cluster_id"] == i
         assert out[i]["survivor_id"] == i
         assert not out[i]["is_duplicate"]
+
+
+def test_cell_cosine_pairs_subbucket_oversized_cell(spark):
+    """Triangle sub-bucketing of oversized cells (round-4 verdict task 1):
+    planting ALL vectors in one cell with max_cell_rows=5 forces
+    s = ceil(30/5) = 6 sub-buckets; the pair SET must be identical to the
+    un-bucketed run AND to the exact within-cell cosine oracle, and the
+    pair-scoring join must be a ShuffledHashJoin (never a broadcast of
+    the vector side)."""
+    import contextlib
+    import io
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(30):
+        v = base + rng.normal(scale=0.05 if i < 20 else 5.0, size=8)
+        rows.append((i, [float(x) for x in np.round(v, 3)]))
+    vecs = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cells = spark.createDataFrame(
+        [(i, 0) for i in range(30)], "pid LONG, cell INT"
+    )
+    sub = dd._cell_cosine_pairs(
+        cells, vecs, 0.9, "vec_id", "embedding", max_cell_rows=5
+    )
+    flat = dd._cell_cosine_pairs(
+        cells, vecs, 0.9, "vec_id", "embedding", max_cell_rows=10**9
+    )
+    got_sub = {(r["id_a"], r["id_b"]) for r in sub.collect()}
+    got_flat = {(r["id_a"], r["id_b"]) for r in flat.collect()}
+
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = n @ n.T
+    oracle = {
+        (i, j)
+        for i in range(30)
+        for j in range(i + 1, 30)
+        if cos[i, j] > 0.9
+    }
+    assert got_sub == oracle  # no pair lost or duplicated by sub-bucketing
+    assert got_sub == got_flat
+    assert len(oracle) >= 150  # the planted tight cluster actually pairs
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sub.explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
