@@ -80,8 +80,11 @@ def doc_bm25_sql(
     b: float = 0.75,
 ) -> str:
     """ANSI twin of doc_bm25_search over the same docs relation."""
+    # terms are interpolated into SQL literals — double embedded quotes
+    # so a term like "it's" can't break (or inject into) the oracle SQL
     qt = ", ".join(
-        f"'{t}'" for t in sorted({t.lower() for t in query_terms})
+        "'" + t.replace("'", "''") + "'"
+        for t in sorted({t.lower() for t in query_terms})
     )
     return (
         f"WITH d AS ({docs_sql}), "

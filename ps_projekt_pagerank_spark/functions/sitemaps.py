@@ -11,8 +11,12 @@ Everything is JVM-side regexp column algebra (``regexp_extract_all`` →
 one row (hosts are the parallel unit, like WARC segments), so the op
 scales as a narrow explode — no shuffle until the caller aggregates.
 Regex-over-XML is correct here because the sitemaps.org schema is flat
-(no nesting inside ``<url>``), entity-free for URLs by spec, and this is
-how production crawl stacks parse the 50k-entry files in practice.
+(no nesting inside ``<url>``) and this is how production crawl stacks
+parse the 50k-entry files in practice. sitemaps.org REQUIRES the five
+predefined XML entities to be escaped in ``<loc>`` (an ``&`` in a URL
+ships as ``&amp;``), so every extracted field unescapes them —
+``&lt; &gt; &quot; &apos;`` first, ``&amp;`` last, so double-escaped
+text (``&amp;lt;``) round-trips to the literal ``&lt;`` and not ``<``.
 
 ``<lastmod>`` / ``<changefreq>`` / ``<priority>`` are optional per spec
 — missing fields come back NULL, never a dropped row.
@@ -25,9 +29,20 @@ from pyspark.sql import functions as F
 
 _URL_BLOCK = "(?s)<url>(.*?)</url>"
 
+# &amp; LAST: "&amp;lt;" must yield the literal "&lt;", not "<"
+_XML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
 
 def _field(block: Column, tag: str) -> Column:
     got = F.regexp_extract(block, f"<{tag}>([^<]*)</{tag}>", 1)
+    for ent, ch in _XML_ENTITIES:
+        got = F.replace(got, F.lit(ent), F.lit(ch))
     return F.when(got != "", got)
 
 

@@ -284,9 +284,13 @@ def random_failure_robustness_sql(
             "GROUP BY component)",
         ]
         selects.append(
+            # giant_size must agree with the Spark side's degenerate row
+            # (p=1.0 → all nodes fail → literal 0, not coalesce-to-1);
+            # with survivors but no kept edges both engines give 1.
             f"SELECT CAST({p!r} AS DOUBLE) AS p, "
             f"(SELECT count(*) FROM surv{i}) AS n_nodes, "
-            f"coalesce((SELECT max(size) FROM sz{i}), 1) AS giant_size, "
+            f"CASE WHEN (SELECT count(*) FROM surv{i}) = 0 THEN 0 ELSE "
+            f"coalesce((SELECT max(size) FROM sz{i}), 1) END AS giant_size, "
             f"CASE WHEN (SELECT count(*) FROM surv{i}) = 0 THEN 0.0 ELSE "
             f"round(CAST(coalesce((SELECT max(size) FROM sz{i}), 1) "
             f"AS DOUBLE) / (SELECT count(*) FROM surv{i}), 6) END "

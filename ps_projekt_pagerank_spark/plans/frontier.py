@@ -41,13 +41,19 @@ def sitemap_frontier_plan(
             f"urls_per_round must be >= 1, got {urls_per_round}"
         )
     parsed = parse_sitemaps(sitemaps)
+    # a URL may legally appear in several of a host's sitemaps — dedup
+    # the feature side (else the loc==url join fans out n×n) and the
+    # candidate set (max priority across listings, deterministic), so a
+    # repeated listing never claims extra schedule slots
     feats = url_spam_features(
-        parsed.select(F.col("loc").alias("url"))
+        parsed.select(F.col("loc").alias("url")).distinct()
     ).select("url", "spam_score")
     cand = (
         parsed.join(feats, parsed["loc"] == feats["url"])
         .where(F.col("spam_score") <= max_spam_score)
         .select("host", F.col("loc").alias("url"), "spam_score", "priority")
+        .groupBy("host", "url", "spam_score")
+        .agg(F.max("priority").alias("priority"))
     )
     w = Window.partitionBy("host").orderBy(
         F.asc("spam_score"),
@@ -76,14 +82,16 @@ def sitemap_frontier_plan_sql(
     )
 
     feats = url_spam_features_sql(
-        f"SELECT loc AS url FROM ({parsed_sql})"
+        f"SELECT DISTINCT loc AS url FROM ({parsed_sql})"
     )
     return (
         f"WITH p AS ({parsed_sql}), "
         f"f AS (SELECT url, spam_score FROM ({feats})), "
-        "cand AS (SELECT p.host, p.loc AS url, f.spam_score, p.priority "
+        "cand AS (SELECT p.host, p.loc AS url, f.spam_score, "
+        "max(p.priority) AS priority "
         "FROM p JOIN f ON f.url = p.loc "
-        f"WHERE f.spam_score <= {int(max_spam_score)}), "
+        f"WHERE f.spam_score <= {int(max_spam_score)} "
+        "GROUP BY p.host, p.loc, f.spam_score), "
         "sched AS (SELECT host, url, spam_score, "
         "row_number() OVER (PARTITION BY host ORDER BY spam_score ASC, "
         "priority DESC NULLS LAST, url ASC) - 1 AS rn FROM cand) "

@@ -673,6 +673,9 @@ def sitemap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"),
         F.lit(".example/p"),
         did.cast("string"),
+        # every 7th loc carries a query string with the spec-required
+        # &amp; escaping — exercises the parser's entity unescape
+        F.when(did % 7 == 3, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
         F.lit("</loc>\n    "),
         lastmod,
         F.lit("\n    <changefreq>"),
@@ -708,7 +711,8 @@ def sitemap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the parsed-output twin (the XML itself never crosses engines)
 SITEMAP_PARSED_SQL = (
     "SELECT source AS host, "
-    "'https://' || source || '.example/p' || CAST(doc_id AS VARCHAR) "
+    "'https://' || source || '.example/p' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 7 = 3 THEN '?a=1&b=2' ELSE '' END "  # unescaped
     "AS loc, "
     "CASE WHEN doc_id % 6 = 5 THEN NULL ELSE CAST('2024-01-' || "
     "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE) END "
