@@ -1123,12 +1123,6 @@ def _q_katz(spark, sf_dir):
     return katz_fixed(D.web_edges(spark, sf_dir), num_iterations=4)
 
 
-def _q_reciprocity(spark, sf_dir):
-    from ps_projekt_pagerank_spark.operators.structure import reciprocity
-
-    return reciprocity(D.web_edges(spark, sf_dir))
-
-
 def _q_node_reciprocity(spark, sf_dir):
     from ps_projekt_pagerank_spark.operators.structure import (
         node_reciprocity,
@@ -1851,110 +1845,27 @@ def _q_doc_bm25(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "g1_node_ids": _q_node_ids,
-        "g2_out_degrees": _q_out_degrees,
-        "g4_sinks": _q_sinks,
-        "s3_tripled_edges": _q_tripled,
-        "p_pagerank_fixed4": _q_pagerank_fixed4,
-        "p_opic4": _q_opic4,
-        "r1_total_rank": _q_pagerank_total,
-        "r3_pagerank_top10": _q_pagerank_top10,
-        "p_pagerank_converged_top20": _q_pagerank_converged_top20,
-        "hits4": _q_hits4,
-        "salsa4": _q_salsa4,
-        "ppr_fixed4": _q_ppr_fixed4,
-        "r_degree_dist": _q_degree_dist,
-        "cc_components": _q_components,
-        "cc_star_components": _q_components_star,
-        "cc_size_hist": _q_cc_size_hist,
-        "cc_summary": _q_cc_summary,
-        "g_modularity_lp": _q_modularity_lp,
-        "g_bfs_dist4": _q_bfs_distances,
-        "g_bfs_hopplot": _q_bfs_hopplot,
-        "g_eff_diameter": _q_eff_diameter,
-        "g_closeness": _q_closeness,
-        "g_sssp_weighted4": _q_sssp_weighted,
-        "g_betweenness": _q_betweenness,
-        "g_ktruss3": _q_ktruss3,
-        "g_truss_decomp": _q_truss_decomp,
-        "g_wl_colors": _q_wl_colors,
-        "g_wl_histogram": _q_wl_histogram,
-        "ppr_batch3": _q_ppr_batch,
-        "g_edge_report": _q_edge_report,
-        "smp_top_docs_per_lang": _q_top_docs_per_lang,
-        "events_trending": _q_events_trending,
-        "s4_anchor_postings": _q_anchor_postings,
-        "s4_anchor_search": _q_anchor_search,
-        "s4_anchor_bm25": _q_anchor_bm25,
-        "walk_skipgrams": _q_skipgram_pairs,
-        "dedup_leakage_safe_split": _q_leakage_safe_split,
-        "url_robots_rules": _q_robots_rules,
-        "url_crawl_allowed": _q_crawl_allowed,
-        "url_redirects_resolved": _q_resolve_redirects,
-        "url_crawl_schedule": _q_crawl_schedule,
-        "dedup_chunk_stats": _q_chunk_dup_stats,
-        "dedup_semdedup": _q_semdedup,
-        "text_dsir_weights": _q_dsir_weights,
-        "url_bloom_seen": _q_bloom_seen,
-        "text_cms_heavy_hitters": _q_cms_heavy_hitters,
-        "text_textrank_keywords": _q_textrank_keywords,
-        "text_bpe_fertility": _q_bpe_fertility,
-        "dedup_winnow_pairs": _q_winnow_pairs,
-        "g_landmark_dists": _q_landmark_dists,
-        "smp_weighted_sample": _q_weighted_sample,
-        "emb_quantize_int8": _q_quantize_embeddings,
-        "emb_cluster_stats": _q_cluster_stats,
-        "text_lm_surprisal": _q_lm_surprisal,
+        # --- never driver-sampled in rounds 1-4 (the driver checks the
+        # FIRST 50 entries; leading with these rotates fresh coverage
+        # into CORRECTNESS_r05 — round-4 verdict task 3) ---
         "text_perplexity_buckets": _q_perplexity_buckets,
         "emb_principal_component": _q_principal_component,
         "emb_pc_projection": _q_pc_projection,
-        "text_lm_bigram_surprisal": _q_lm_bigram_surprisal,
-        "text_tfidf_top5": _q_tfidf_top5,
-        "e2e_corpus_filter": _q_corpus_pipeline,
         "e2e_corpus_filter_neardup": _q_corpus_pipeline_neardup,
-        "text_pmi_bigrams": _q_pmi_bigrams,
-        "text_vocab_fm": _q_vocab_fm,
         "text_vocab_hll": _q_vocab_hll,
         "text_quality_model": _q_quality_model,
         "text_bpe_merges": _q_bpe_merges,
         "text_bpe_tokens": _q_bpe_tokens,
         "text_vocab_by_lang_hll": _q_vocab_by_lang_hll,
-        "smp_corpus_splits": _q_corpus_splits,
-        "text_vocab_by_lang_fm": _q_vocab_by_lang_fm,
-        "text_vocab_coverage": _q_vocab_coverage,
-        "lp_labels": _q_labelprop,
         "lv_communities": _q_louvain,
         "g_matching": _q_matching,
         "g_coarsen_map": _q_coarsen_map,
         "g_coarsen_edges": _q_coarsen_edges,
-        "tri_total": _q_triangles,
-        "tri_per_node": _q_triangles_per_node,
-        "r4_order_agreement": _q_order_agreement,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_sigs": _q_minhash_sigs,
-        "dedup_minhash_pairs": _q_minhash_pairs,
-        "dedup_token_jaccard": _q_token_jaccard,
-        "dedup_simhash": _q_simhash,
-        "dedup_simhash_pairs": _q_simhash_pairs,
-        "dedup_embedding_pairs": _q_embedding_neardup,
-        "knn_top5": _q_knn,
-        "knn_lsh_top5": _q_knn_lsh,
-        "knn_ivf_top5": _q_knn_ivf,
         "knn_pq_top5": _q_knn_pq,
         "pq_codes": _q_pq_codes,
         "knn_ivfpq_top5": _q_knn_ivfpq,
-        "text_token_stats": _q_token_stats,
-        "text_lang_id": _q_lang_id,
-        "text_fingerprint": _q_fingerprint,
-        "s4_extract_text": _q_extract_text,
-        "s4_extract_edges": _q_extract_edges,
         "s1_snap_roundtrip": _q_snap_roundtrip,
         "e2e_extract_rank_top10": _q_e2e_extract_rank,
-        "events_5min_agg": _q_events_agg,
-        "events_sessions": _q_events_sessions,
-        "events_props_json": _q_events_props,
-        "mm_decode_image": _q_multimodal_decode,
-        "mm_frame_sample": _q_frame_sample,
         "mm_decode_ppm": _q_ppm_decode,
         "la_anf_reach": _q_anf_reach,
         "la_harmonic3": _q_harmonic,
@@ -1970,7 +1881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smp_ego_network": _q_ego_network,
         "dedup_clusters": _q_dedup_clusters,
         "tri_clustering_coef": _q_clustering_coef,
-        "g_reciprocity": _q_reciprocity,
         "s4_host_edges": _q_host_edges,
         "smp_stratified_sample": _q_stratified_sample,
         "dedup_survivors": _q_dedup_survivors,
@@ -2032,6 +1942,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_stupid_backoff": _q_stupid_backoff,
         "e2e_frontier_plan": _q_frontier_plan,
         "g_transitivity": _q_transitivity,
+        # --- driver-verified green in at least one of rounds 1-4 ---
+        "g1_node_ids": _q_node_ids,
+        "g2_out_degrees": _q_out_degrees,
+        "g4_sinks": _q_sinks,
+        "s3_tripled_edges": _q_tripled,
+        "p_pagerank_fixed4": _q_pagerank_fixed4,
+        "p_opic4": _q_opic4,
+        "r1_total_rank": _q_pagerank_total,
+        "r3_pagerank_top10": _q_pagerank_top10,
+        "p_pagerank_converged_top20": _q_pagerank_converged_top20,
+        "hits4": _q_hits4,
+        "salsa4": _q_salsa4,
+        "ppr_fixed4": _q_ppr_fixed4,
+        "r_degree_dist": _q_degree_dist,
+        "cc_components": _q_components,
+        "cc_star_components": _q_components_star,
+        "cc_size_hist": _q_cc_size_hist,
+        "cc_summary": _q_cc_summary,
+        "g_modularity_lp": _q_modularity_lp,
+        "g_bfs_dist4": _q_bfs_distances,
+        "g_bfs_hopplot": _q_bfs_hopplot,
+        "g_eff_diameter": _q_eff_diameter,
+        "g_closeness": _q_closeness,
+        "g_sssp_weighted4": _q_sssp_weighted,
+        "g_betweenness": _q_betweenness,
+        "g_ktruss3": _q_ktruss3,
+        "g_truss_decomp": _q_truss_decomp,
+        "g_wl_colors": _q_wl_colors,
+        "g_wl_histogram": _q_wl_histogram,
+        "ppr_batch3": _q_ppr_batch,
+        "g_edge_report": _q_edge_report,
+        "smp_top_docs_per_lang": _q_top_docs_per_lang,
+        "events_trending": _q_events_trending,
+        "s4_anchor_postings": _q_anchor_postings,
+        "s4_anchor_search": _q_anchor_search,
+        "s4_anchor_bm25": _q_anchor_bm25,
+        "walk_skipgrams": _q_skipgram_pairs,
+        "dedup_leakage_safe_split": _q_leakage_safe_split,
+        "url_robots_rules": _q_robots_rules,
+        "url_crawl_allowed": _q_crawl_allowed,
+        "url_redirects_resolved": _q_resolve_redirects,
+        "url_crawl_schedule": _q_crawl_schedule,
+        "dedup_chunk_stats": _q_chunk_dup_stats,
+        "dedup_semdedup": _q_semdedup,
+        "text_dsir_weights": _q_dsir_weights,
+        "url_bloom_seen": _q_bloom_seen,
+        "text_cms_heavy_hitters": _q_cms_heavy_hitters,
+        "text_textrank_keywords": _q_textrank_keywords,
+        "text_bpe_fertility": _q_bpe_fertility,
+        "dedup_winnow_pairs": _q_winnow_pairs,
+        "g_landmark_dists": _q_landmark_dists,
+        "smp_weighted_sample": _q_weighted_sample,
+        "emb_quantize_int8": _q_quantize_embeddings,
+        "emb_cluster_stats": _q_cluster_stats,
+        "text_lm_surprisal": _q_lm_surprisal,
+        "text_lm_bigram_surprisal": _q_lm_bigram_surprisal,
+        "text_tfidf_top5": _q_tfidf_top5,
+        "e2e_corpus_filter": _q_corpus_pipeline,
+        "text_pmi_bigrams": _q_pmi_bigrams,
+        "text_vocab_fm": _q_vocab_fm,
+        "smp_corpus_splits": _q_corpus_splits,
+        "text_vocab_by_lang_fm": _q_vocab_by_lang_fm,
+        "text_vocab_coverage": _q_vocab_coverage,
+        "lp_labels": _q_labelprop,
+        "tri_total": _q_triangles,
+        "tri_per_node": _q_triangles_per_node,
+        "r4_order_agreement": _q_order_agreement,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sigs": _q_minhash_sigs,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_token_jaccard": _q_token_jaccard,
+        "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_embedding_pairs": _q_embedding_neardup,
+        "knn_top5": _q_knn,
+        "knn_lsh_top5": _q_knn_lsh,
+        "knn_ivf_top5": _q_knn_ivf,
+        "text_token_stats": _q_token_stats,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        "s4_extract_text": _q_extract_text,
+        "s4_extract_edges": _q_extract_edges,
+        "events_5min_agg": _q_events_agg,
+        "events_sessions": _q_events_sessions,
+        "events_props_json": _q_events_props,
+        "mm_decode_image": _q_multimodal_decode,
+        "mm_frame_sample": _q_frame_sample,
     }
 
 
@@ -3452,10 +3449,8 @@ def oracle_sql() -> dict[str, str]:
     from ps_projekt_pagerank_spark.operators.structure import (
         avg_neighbor_degree_sql,
         node_reciprocity_sql,
-        reciprocity_sql,
     )
 
-    sqls["g_reciprocity"] = reciprocity_sql(_WEB)
     sqls["g_node_reciprocity"] = node_reciprocity_sql(_WEB)
     sqls["g_avg_nn_degree"] = avg_neighbor_degree_sql(_SPARSE)
     sqls["lp_neighborhood_jaccard"] = (

@@ -422,6 +422,12 @@ def run_suite(spark, sf_dir):
             D.documents(spark, sf_dir).select("doc_id", "text"), 8
         ).count(),
     )
+    extras["bpe"] = {
+        "merges": 8,
+        # candidate-collect driver actions of the LAST (min-of-n) run —
+        # the batched learner's round count; 8 = fully sequential
+        "candidate_actions": getattr(bpe_learn_merges, "last_actions", None),
+    }
 
     # the composed corpus-filter flagship (exact dedup -> chunk cap ->
     # Gopher rule -> weighted sample) as ONE plan over the documents table

@@ -206,25 +206,18 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     standard directed-web-graph symmetry statistic; ~25% on real web
     crawls, near 0 on citation-style graphs).
 
-    Scale: one distinct over |E| plus one self-equi-join on the full
-    (src, dst) key — both plain hash shuffles on the edge key; the join
-    output is at most |E| rows, never quadratic.
+    Thin projection over ``structure._reciprocity_counts`` (the single
+    implementation of the semi-join — round-4 verdict task 7 reconciled
+    the two previously-independent copies); this form keeps the report
+    schema (reciprocal_edges, total_edges) and 9-dp rounding.
     """
-    e = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    rec = e.join(rev, ["src", "dst"], "left_semi").agg(
-        F.count("*").alias("reciprocal_edges")
-    )
-    tot = e.agg(F.count("*").alias("total_edges"))
-    return rec.crossJoin(tot).select(
-        "reciprocal_edges",
-        "total_edges",
+    from .structure import _reciprocity_counts
+
+    return _reciprocity_counts(edges).select(
+        F.col("n_reciprocal").alias("reciprocal_edges"),
+        F.col("n_edges").alias("total_edges"),
         F.round(
-            F.col("reciprocal_edges") / F.col("total_edges").cast("double"), 9
+            F.col("n_reciprocal") / F.col("n_edges").cast("double"), 9
         ).alias("reciprocity"),
     )
 

@@ -36,18 +36,31 @@ def _clean_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def reciprocity(edges: DataFrame) -> DataFrame:
-    """One row (n_edges, n_reciprocal, reciprocity): distinct
-    self-loop-free edge count, how many have their reverse present, and
-    the ratio rounded to 6 dp (0.0 on an empty graph)."""
+def _reciprocity_counts(edges: DataFrame) -> DataFrame:
+    """1-row (n_edges, n_reciprocal) over the distinct self-loop-free
+    edge set — the SINGLE implementation of the reciprocity semi-join;
+    both public projections (this module's 6-dp form and
+    ``operators.graph.reciprocity``'s report schema) build on it so the
+    two can never diverge.
+
+    Scale: one distinct over |E| plus one self-equi-join on the full
+    (src, dst) key — plain hash shuffles, join output ≤ |E| rows."""
     e = _clean_edges(edges)
     rev = e.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
     marked = e.join(rev, ["src", "dst"], "left_semi")
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        marked.agg(F.count("*").alias("n_reciprocal"))
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, n_reciprocal, reciprocity): distinct
+    self-loop-free edge count, how many have their reverse present, and
+    the ratio rounded to 6 dp (0.0 on an empty graph)."""
     return (
-        e.agg(F.count("*").alias("n_edges"))
-        .crossJoin(marked.agg(F.count("*").alias("n_reciprocal")))
+        _reciprocity_counts(edges)
         .select(
             "n_edges",
             "n_reciprocal",

@@ -137,3 +137,53 @@ def test_encode_counts(docs):
         return n
 
     assert enc == {i: count(t) for i, t in DOCS}
+
+
+def test_batched_equals_sequential_and_saves_actions(spark):
+    """batch_top_k=16 must reproduce the sequential (top-1) merge table
+    exactly — the batching rule only accepts candidates whose stale
+    counts are provably exact — while spending fewer candidate-collect
+    actions on non-interacting text."""
+    rows = [
+        (i, "alpha bravo charlie delta echo foxtrot golf hotel " * 3)
+        for i in range(4)
+    ] + [(9, "india juliet kilo lima mike november oscar papa")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    seq = [
+        tuple(r)
+        for r in bpe_learn_merges(
+            docs, 8, batch_top_k=1
+        ).orderBy("round").collect()
+    ]
+    seq_actions = bpe_learn_merges.last_actions
+    bat = [
+        tuple(r)
+        for r in bpe_learn_merges(
+            docs, 8, batch_top_k=16
+        ).orderBy("round").collect()
+    ]
+    bat_actions = bpe_learn_merges.last_actions
+    assert bat == seq
+    assert len(bat) == 8
+    assert seq_actions == 8
+    assert bat_actions < seq_actions  # batching actually engaged
+
+
+def test_batched_interacting_pairs_fall_back(spark):
+    """Heavily self-interacting text (one repeated letter run) must not
+    let the batch accept a stale count — result still matches the
+    literal Python replay even when every step interacts."""
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa aaaa aa a"), (2, "aaaaaaa aaa aa")],
+        "doc_id LONG, text STRING",
+    )
+    got = [
+        tuple(r)
+        for r in bpe_learn_merges(
+            docs, 5, batch_top_k=16
+        ).orderBy("round").collect()
+    ]
+    expect = [tuple(r) for r in _py_bpe(
+        ["aaaaaaaa aaaa aa a", "aaaaaaa aaa aa"], 5
+    )]
+    assert got == expect
