@@ -11,9 +11,19 @@ VALID P6 blobs (real header + md5-derived pixel bytes), so the decoder
 is exercised on actual pixels end-to-end and gate-checked against a
 closed-form DuckDB twin of the generator.
 
+REAL compressed decode (round-4 verdict task 6): ``codec="png"``
+decodes non-interlaced 8-bit RGB PNG with NOTHING but stdlib zlib +
+numpy — chunk walk (IHDR/IDAT/IEND, CRC-checked), one inflate, then
+per-scanline unfiltering of all five PNG filter types (None/Sub/Up/
+Average/Paeth). ``fake_media_png`` builds VALID PNGs (signature, CRCs,
+deflate) with a deterministic filter rotation r%3 ∈ {None, Sub, Up} so
+the decoder's unfilter path is exercised on every image; pixel bytes
+are the same md5-derived plane the PPM fixture uses, so the DuckDB twin
+stays a closed form — the compressed bytes never cross engines.
+
 ``codec="real"`` still raises NotImplementedError — it marks where a
-COMPRESSED codec (JPEG/PNG via PIL/libvips) would plug in; those
-libraries are not in this container. ``codec="fake"`` keeps the original
+JPEG-class codec (PIL/libvips) would plug in; those libraries are not
+in this container. ``codec="fake"`` keeps the original
 synthetic-header path:
     b"IMG1" + width(4, big-endian) + height(4) + channels(1) + payload
 """
@@ -105,6 +115,161 @@ def fake_media_ppm(docs: DataFrame) -> DataFrame:
     )
 
 
+def _png_pack(tag: bytes, body: bytes) -> bytes:
+    import binascii
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", binascii.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(raw, w: int, h: int) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a valid non-interlaced 8-bit
+    RGB PNG, rotating scanline filters r%3 ∈ {0 None, 1 Sub, 2 Up} so a
+    decoder must actually unfilter. Deterministic (fixed zlib level)."""
+    import numpy as np
+    import zlib
+
+    lines = []
+    prior = np.zeros(w * 3, dtype=np.uint8)
+    for r in range(h):
+        row = raw[r].reshape(-1)
+        ftype = r % 3
+        if ftype == 1:  # Sub: delta vs pixel 3 bytes back
+            filt = row.copy()
+            filt[3:] = row[3:] - row[:-3]
+        elif ftype == 2:  # Up: delta vs prior scanline
+            filt = row - prior
+        else:
+            filt = row
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_pack(b"IHDR", ihdr)
+        + _png_pack(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_pack(b"IEND", b"")
+    )
+
+
+def _png_decode(buf: bytes):
+    """(w, h, raw uint8 (h, w*3)) from a non-interlaced 8-bit RGB PNG —
+    stdlib zlib inflate + numpy unfilter of all five filter types.
+    Raises ValueError on bad signature/CRC/IHDR combos this subset
+    doesn't cover (the honest boundary: interlace, palettes, 16-bit and
+    alpha need a real image lib)."""
+    import binascii
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("decode_image(png): bad PNG signature")
+    pos, w = 8, None
+    idat = []
+    while pos < len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if binascii.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"decode_image(png): bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "decode_image(png): only non-interlaced 8-bit RGB "
+                    f"supported, got depth={depth} colortype={ctype} "
+                    f"interlace={ilace}"
+                )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("decode_image(png): missing IHDR/IDAT")
+    stride = w * 3
+    plane = np.frombuffer(
+        zlib.decompress(b"".join(idat)), dtype=np.uint8
+    ).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ftype = int(plane[r, 0])
+        line = plane[r, 1:].astype(np.int32)
+        prior = out[r - 1].astype(np.int32) if r else np.zeros(
+            stride, dtype=np.int32
+        )
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - 3] if i >= 3 else 0  # left
+                b = prior[i]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prior[i - 3] if i >= 3 else 0  # up-left
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"decode_image(png): bad filter {ftype}")
+        out[r] = rec.astype(np.uint8)
+    return w, h, out
+
+
+def fake_media_png(docs: DataFrame) -> DataFrame:
+    """(media_id, kind, media, width, height) — one VALID compressed PNG
+    per document (signature + CRC'd IHDR/IDAT/IEND + deflate), pixels =
+    the md5-hex plane of ``fake_media_ppm`` at w = doc_id%13+5,
+    h = doc_id%9+4, scanline filters rotating None/Sub/Up. Arrow-batched
+    mapInPandas (zlib+struct are per-row Python by nature; the PLANE
+    generation is the same closed form the DuckDB twin replays)."""
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "media_id": [], "kind": [], "media": [],
+                "width": [], "height": [],
+            }
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(did) % 13 + 5
+                h = int(did) % 9 + 4
+                n = w * h * 3
+                hx = hashlib.md5(str(text).encode()).hexdigest()
+                hx = (hx * (2 * n // 32 + 1))[: 2 * n]
+                raw = np.frombuffer(
+                    bytes.fromhex(hx), dtype=np.uint8
+                ).reshape(h, w * 3).copy()
+                rows["media_id"].append(did)
+                rows["kind"].append("png")
+                rows["media"].append(_png_encode(raw, w, h))
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Arrow-batched decode: binary → (dims, channels, pixel count).
 
@@ -126,6 +291,31 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
             "container; use codec='ppm' (pure-numpy, real pixels) or "
             "codec='fake' (synthetic header)"
         )
+    if codec == "png":
+        import numpy as np
+
+        def png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                out = {
+                    "media_id": [], "width": [], "height": [],
+                    "channels": [], "n_pixels": [], "pixel_sum": [],
+                    "mean_pixel": [],
+                }
+                for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                    w, h, raw = _png_decode(bytes(blob))
+                    n = w * h * 3
+                    s = int(raw.sum(dtype=np.int64))
+                    out["media_id"].append(mid)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(3)
+                    out["n_pixels"].append(w * h)
+                    out["pixel_sum"].append(s)
+                    out["mean_pixel"].append(round(s / n, 6))
+                yield pd.DataFrame(out)
+
+        return media.mapInPandas(png_batches, schema=PPM_DECODED_SCHEMA)
+
     if codec == "ppm":
         import re
 

@@ -1,0 +1,720 @@
+"""DuckDB twin-SQL builders for the correctness gate.
+
+Factored out of ``__spark_entry__.py`` (round-4 verdict task 8) so the
+driver entry file stops growing linearly with the gate: every generic
+unrolled-chain builder (rank-family fixpoints, ANF/HyperBall sketches,
+k-means/PQ/IVF literal replications, LSH/simhash pair chains, SCC /
+bow-tie closures, label propagation) lives here; the entry file keeps
+only per-query literal twins and the registry.
+
+Each builder returns ANSI SQL DuckDB executes over the same parquet the
+Spark query reads — the correctness contract is hash equality of the
+two result sets (tools/check_entry.py replays the driver's comparison).
+"""
+
+from __future__ import annotations
+
+from .. import DAMPING, NORTH_EPSILON  # noqa: F401
+from ..functions import text as tx  # noqa: F401
+from ..operators import similarity as sim  # noqa: F401
+from ..sources import derived as D
+
+_WEB = D.WEB_EDGES_SQL
+_BLOCK = D.BLOCK_EDGES_SQL
+
+_DOCS_DUPS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents "
+    "WHERE doc_id < 50"
+)
+
+# distinct lowercase tokens per doc (matches operators.dedup._doc_tokens)
+def _toks_sql(docs_expr: str) -> str:
+    return (
+        f"SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+        f"unnest(string_split(lower(text), ' ')) AS tok FROM ({docs_expr})) "
+        f"WHERE tok <> ''"
+    )
+
+
+def _minhash_sigs_sql(docs_expr: str) -> str:
+    aggs = ", ".join(
+        f"min(md5(tok || '#{i}')) AS s{i}" for i in range(4)
+    )
+    return f"SELECT doc_id, {aggs} FROM ({_toks_sql(docs_expr)}) GROUP BY doc_id"
+
+
+def _anf_sql(
+    edges_sql: str, rounds: int, num_sketches: int = 4, nibbles: int = 10
+) -> str:
+    """Twin of anf.anf_neighborhood (integer readout only): per-node FM
+    sketches seeded from md5 trailing zeros, unrolled OR-propagation rounds,
+    Σ lowest-zero-bit positions per h. Bit-for-bit = the Spark trajectory."""
+    rng = range(num_sketches)
+
+    def seed(r: int) -> str:
+        x = (
+            f"CAST('0x' || substr(md5(id::VARCHAR || '#{r}'), 1, {nibbles}) "
+            f"AS BIGINT)"
+        )
+        return (
+            f"(CAST(1 AS BIGINT) << (CASE WHEN {x} = 0 THEN {nibbles * 4} "
+            f"ELSE bit_count(({x} & (0 - {x})) - 1) END)) AS s{r}"
+        )
+
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "st0 AS (SELECT id, " + ", ".join(seed(r) for r in rng) + " FROM nodes)",
+    ]
+    for h in range(1, rounds + 1):
+        gs = ", ".join(f"bit_or(st.s{r}) AS g{r}" for r in rng)
+        parts.append(
+            f"gt{h} AS (SELECT e.src AS nid, {gs} FROM e "
+            f"JOIN st{h - 1} st ON e.dst = st.id GROUP BY e.src)"
+        )
+        cs = ", ".join(
+            f"coalesce(st.s{r} | g.g{r}, st.s{r}) AS s{r}" for r in rng
+        )
+        parts.append(
+            f"st{h} AS (SELECT st.id, {cs} FROM st{h - 1} st "
+            f"LEFT JOIN gt{h} g ON st.id = g.nid)"
+        )
+
+    def measure(h: int) -> str:
+        pos = " + ".join(
+            f"bit_count(((~s{r}) & (s{r} + 1)) - 1)" for r in rng
+        )
+        return (
+            f"SELECT CAST({h} AS INTEGER) AS h, "
+            f"CAST(sum({pos}) AS BIGINT) AS sum_positions FROM st{h}"
+        )
+
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " "
+        + " UNION ALL ".join(measure(h) for h in range(rounds + 1))
+    )
+
+
+def _harmonic_sql(
+    edges_sql: str, rounds: int, num_sketches: int = 4, nibbles: int = 10
+) -> str:
+    """Twin of anf.harmonic_centrality (direction='in'): the _anf_sql
+    sketch chain over REVERSED edges, then per node the telescoping
+    HyperBall sum Σ_h (E_h - E_{h-1})/h, each E_h looked up from the SAME
+    literal estimate table (indexed by the integer bit-position sum) and
+    the terms added in ascending h — doubles match Spark bit-for-bit."""
+    from ps_projekt_pagerank_spark.operators.anf import harmonic_est_table
+
+    rng = range(num_sketches)
+    # CAST to DOUBLE[] — bare decimal literals would make the list (and
+    # all downstream arithmetic) DECIMAL, diverging from Spark's doubles
+    tbl = "CAST([" + ", ".join(
+        repr(v) for v in harmonic_est_table(num_sketches, nibbles)
+    ) + "] AS DOUBLE[])"
+
+    def seed(r: int) -> str:
+        x = (
+            f"CAST('0x' || substr(md5(id::VARCHAR || '#{r}'), 1, {nibbles}) "
+            f"AS BIGINT)"
+        )
+        return (
+            f"(CAST(1 AS BIGINT) << (CASE WHEN {x} = 0 THEN {nibbles * 4} "
+            f"ELSE bit_count(({x} & (0 - {x})) - 1) END)) AS s{r}"
+        )
+
+    parts = [
+        f"e AS (SELECT DISTINCT dst AS src, src AS dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "st0 AS (SELECT id, " + ", ".join(seed(r) for r in rng) + " FROM nodes)",
+    ]
+    for h in range(1, rounds + 1):
+        gs = ", ".join(f"bit_or(st.s{r}) AS g{r}" for r in rng)
+        parts.append(
+            f"gt{h} AS (SELECT e.src AS nid, {gs} FROM e "
+            f"JOIN st{h - 1} st ON e.dst = st.id GROUP BY e.src)"
+        )
+        cs = ", ".join(
+            f"coalesce(st.s{r} | g.g{r}, st.s{r}) AS s{r}" for r in rng
+        )
+        parts.append(
+            f"st{h} AS (SELECT st.id, {cs} FROM st{h - 1} st "
+            f"LEFT JOIN gt{h} g ON st.id = g.nid)"
+        )
+    pos = " + ".join(f"bit_count(((~s{r}) & (s{r} + 1)) - 1)" for r in rng)
+    for h in range(rounds + 1):
+        parts.append(
+            f"m{h} AS (SELECT id, list_extract({tbl}, ({pos}) + 1) "
+            f"AS e{h} FROM st{h})"
+        )
+    terms = " + ".join(
+        f"(m{h}.e{h} - m{h - 1}.e{h - 1}) / {float(h)}"
+        for h in range(1, rounds + 1)
+    )
+    joins = " ".join(f"JOIN m{h} USING (id)" for h in range(1, rounds + 1))
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, floor(({terms}) * 1e6 + 0.5) / 1e6 AS harmonic "
+        + f"FROM m0 {joins}"
+    )
+
+
+def _cocite_sql(
+    edges_sql: str,
+    shared: str,
+    paired: str,
+    max_fanout: int,
+    min_count: int,
+    out_col: str,
+) -> str:
+    """Twin of cocitation._paired_on: distinct (shared, paired), drop shared
+    endpoints above the fanout cap, self-join a < b, pair counts."""
+    return (
+        f"WITH e AS (SELECT DISTINCT {shared} AS s, {paired} AS p "
+        f"FROM ({edges_sql})), "
+        f"keep AS (SELECT s FROM e GROUP BY s HAVING count(*) <= {max_fanout}), "
+        f"ek AS (SELECT e.s, e.p FROM e JOIN keep USING (s)) "
+        f"SELECT a.p AS a, b.p AS b, count(*) AS {out_col} "
+        f"FROM ek a JOIN ek b ON a.s = b.s AND a.p < b.p "
+        f"GROUP BY a.p, b.p HAVING count(*) >= {min_count}"
+    )
+
+
+def _walks_steps_ctes(edges_sql: str, walk_length: int) -> tuple[list[str], str]:
+    """The shared step chain of sampling.random_walks (walks_per_node=1):
+    per step the next hop is arg_min over md5(walk_id#step#dst) —
+    identical hex in both engines; sinks drop out of the frontier so
+    walks truncate early. Returns (ctes, union_of_step_rows)."""
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "f0 AS (SELECT id AS walk_id, id AS cur FROM nodes)",
+        "s0 AS (SELECT walk_id, 0 AS step, cur AS node FROM f0)",
+    ]
+    for k in range(1, walk_length + 1):
+        parts.append(
+            f"f{k} AS (SELECT f.walk_id, arg_min(e.dst, "
+            f"md5(f.walk_id::VARCHAR || '#{k}#' || e.dst::VARCHAR)) AS cur "
+            f"FROM f{k - 1} f JOIN e ON f.cur = e.src GROUP BY f.walk_id)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT walk_id, {k} AS step, cur AS node FROM f{k})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{k}" for k in range(walk_length + 1)
+    )
+    return parts, union
+
+
+def _walks_sql(edges_sql: str, walk_length: int) -> str:
+    """Twin of sampling.random_walks collapsed to '-'-joined paths."""
+    parts, union = _walks_steps_ctes(edges_sql, walk_length)
+    return (
+        "WITH " + ", ".join(parts) + f", steps AS ({union}) "
+        "SELECT walk_id, arg_min(node, step) AS start, "
+        "string_agg(node::VARCHAR, '-' ORDER BY step) AS path "
+        "FROM steps GROUP BY walk_id"
+    )
+
+
+def _skipgrams_sql(edges_sql: str, walk_length: int, window: int) -> str:
+    """Twin of sampling.skipgram_pairs over the same walk corpus."""
+    parts, union = _walks_steps_ctes(edges_sql, walk_length)
+    return (
+        "WITH " + ", ".join(parts)
+        + f", steps AS MATERIALIZED ({union}) "
+        "SELECT center, context, count(*) AS n_pairs FROM "
+        "(SELECT a.node AS center, b.node AS context FROM steps a "
+        "JOIN steps b ON a.walk_id = b.walk_id "
+        f"WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}) "
+        "GROUP BY center, context"
+    )
+
+
+def _ego_sql(edges_sql: str, seeds: list[int], hops: int) -> str:
+    """Twin of sampling.ego_network (directed): unrolled frontier expansion
+    then the induced-edge filter join."""
+    seed_vals = ", ".join(f"({int(s)})" for s in seeds)
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        f"v0 AS (SELECT CAST(id AS BIGINT) AS id FROM (VALUES {seed_vals}) t(id))",
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f"v{k} AS (SELECT id FROM v{k - 1} UNION "
+            f"SELECT e.dst AS id FROM e JOIN v{k - 1} v ON e.src = v.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT e.src, e.dst FROM e "
+        f"JOIN v{hops} a ON e.src = a.id JOIN v{hops} b ON e.dst = b.id"
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    """Twin of dedup.dedup_clusters: minhash-LSH candidate pairs (the same
+    band predicate as the dedup_minhash_pairs twin) → transitive closure →
+    min-label cluster ids → singleton fill-in via left join."""
+    return (
+        f"WITH RECURSIVE sigs AS ({_minhash_sigs_sql(_DOCS_DUPS)}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND "
+        "((a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3))), "
+        "sym(a, b) AS (SELECT id_a, id_b FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component "
+        "FROM reach GROUP BY a) "
+        "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id, "
+        "d.doc_id <> coalesce(c.component, d.doc_id) AS is_duplicate "
+        f"FROM (SELECT doc_id FROM ({_DOCS_DUPS})) d "
+        "LEFT JOIN comp c ON d.doc_id = c.doc_id"
+    )
+
+
+def _kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Twin of kcore.k_core: the peel loop unrolled to ``rounds`` filter
+    passes (MATERIALIZED — each round is referenced three times by the
+    next, so default inlining would re-expand the chain 3^rounds-fold)."""
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({edges_sql}) WHERE src <> dst)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT id FROM "
+            f"(SELECT a AS id FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}) "
+            f"GROUP BY id HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r - 1} e "
+            f"JOIN k{r} ka ON e.a = ka.id JOIN k{r} kb ON e.b = kb.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT DISTINCT id FROM "
+        f"(SELECT a AS id FROM e{rounds} UNION ALL SELECT b FROM e{rounds})"
+    )
+
+
+# host pair multiset (pre-collapse): weighted host PageRank over collapsed
+# weights == plain PageRank over this multiset, so the twin just unrolls it
+_HOST_MULTISET = (
+    "SELECT 'h' || (l_orderkey % 97)::VARCHAR || '.test' AS src, "
+    "'h' || (l_partkey % 97)::VARCHAR || '.test' AS dst FROM lineitem "
+    "WHERE (l_orderkey % 97) <> (l_partkey % 97)"
+)
+
+
+_DOCS_DUPS_Q = (
+    "SELECT doc_id, text, n_chars FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text, n_chars "
+    "FROM documents WHERE doc_id < 50"
+)
+
+
+def _dedup_survivors_sql(docs_expr: str | None = None) -> str:
+    """Twin of dedup.dedup_survivors (default: the quality-bearing dup
+    corpus; pass any (doc_id, text, n_chars) expression): the
+    dedup_clusters recursion plus the printf-key quality arg-max."""
+    docs_expr = docs_expr or _DOCS_DUPS_Q
+    return (
+        f"WITH RECURSIVE sigs AS ({_minhash_sigs_sql(docs_expr)}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND "
+        "((a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3))), "
+        "sym(a, b) AS (SELECT id_a, id_b FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(a, b) AS (SELECT a, b FROM sym "
+        "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component "
+        "FROM reach GROUP BY a), "
+        f"assign AS (SELECT d.doc_id, "
+        "coalesce(c.component, d.doc_id) AS cluster_id, d.n_chars "
+        f"FROM ({docs_expr}) d LEFT JOIN comp c ON d.doc_id = c.doc_id), "
+        "surv AS (SELECT cluster_id, CAST(substr(min(printf("
+        "'%019d#%020d', 1000000000000000000 - n_chars, doc_id)), 21) "
+        "AS BIGINT) AS survivor_id FROM assign GROUP BY cluster_id) "
+        "SELECT a.doc_id, a.cluster_id, s.survivor_id, "
+        "a.doc_id <> s.survivor_id AS is_duplicate "
+        "FROM assign a JOIN surv s ON a.cluster_id = s.cluster_id"
+    )
+
+
+def _pagerank_fixed_sql(num_iterations: int, edges_sql: str | None = None) -> str:
+    """Unrolled power iteration — the exact SQL twin of pagerank_fixed
+    (same init, sink-mass redistribution, left-join coalesce for no-inlink
+    nodes). ``edges_sql`` defaults to the derived web graph; the flagship
+    end-to-end twin passes the extraction CTE instead."""
+    parts = [
+        f"WITH e AS ({edges_sql or _WEB})",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    d = DAMPING
+    for k in range(num_iterations):
+        parts.append(
+            f"s{k} AS (SELECT ((1 - {d}) + {d} * COALESCE(sum(rank), 0)) / "
+            f"(SELECT n FROM nn) AS ss FROM r{k} "
+            f"WHERE id NOT IN (SELECT id FROM deg))"
+        )
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS contrib "
+            f"FROM e JOIN r{k} r ON e.src = r.id JOIN deg d ON e.src = d.id "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT nodes.id, (SELECT ss FROM s{k}) + "
+            f"{d} * COALESCE(c{k}.contrib, 0) AS rank "
+            f"FROM nodes LEFT JOIN c{k} ON nodes.id = c{k}.id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, round(rank, 9) AS rank FROM r{num_iterations}"
+
+
+def _pagerank_frozen_sql(num_sweeps: int) -> str:
+    """Unrolled FROZEN-NODE PageRank — the SQL twin of the converged gate
+    query (operators.pagerank.pagerank, eps=1e-6). Each sweep carries the
+    per-node ``active`` flag as a CASE column: frozen nodes keep their
+    committed rank (but still contribute to scatter and sink mass, exactly
+    like Graph.cpp:135-155), and a node freezes when |new-old| < eps.
+    The sf0.01 gate graph converges in 5 sweeps (NumPy-oracle-verified);
+    ``num_sweeps`` adds margin — once every node is frozen a sweep is the
+    identity, so over-unrolling cannot change the result."""
+    d = DAMPING
+    eps = NORTH_EPSILON
+    parts = [
+        f"WITH e AS MATERIALIZED ({_WEB})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id "
+        "FROM e UNION ALL SELECT dst AS id FROM e))",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM e "
+        "GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank, "
+        "TRUE AS active FROM nodes)",
+    ]
+    for k in range(num_sweeps):
+        parts += [
+            f"s{k} AS MATERIALIZED (SELECT ((1 - {d}) + {d} * "
+            f"COALESCE(sum(rank), 0)) / (SELECT n FROM nn) AS ss FROM r{k} "
+            f"WHERE id NOT IN (SELECT id FROM deg))",
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"sum(r.rank / d.outdeg) AS contrib FROM e JOIN r{k} r "
+            f"ON e.src = r.id JOIN deg d ON e.src = d.id GROUP BY e.dst)",
+            f"r{k + 1} AS MATERIALIZED (SELECT id, "
+            f"CASE WHEN active THEN newr ELSE rank END AS rank, "
+            f"active AND abs(newr - rank) >= {eps} AS active FROM ("
+            f"SELECT n.id, r.rank, r.active, (SELECT ss FROM s{k}) + {d} * "
+            f"COALESCE(c.contrib, 0) AS newr FROM nodes n "
+            f"JOIN r{k} r ON r.id = n.id LEFT JOIN c{k} c ON n.id = c.id))",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT id, round(rank, 6) AS rank FROM r{num_sweeps} "
+        f"ORDER BY rank DESC, id ASC LIMIT 20"
+    )
+
+
+def _ppr_fixed_sql(seeds: list[int], num_iterations: int) -> str:
+    """Unrolled personalized-PageRank twin of pagerank_personalized_fixed:
+    teleport AND sink mass flow only to the seed set (tele = 1/|S|)."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    ts = 1.0 / len(seeds)
+    d = DAMPING
+    parts = [
+        f"WITH e AS ({_WEB})",
+        "w AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e "
+        "GROUP BY src, dst)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
+        f"tele AS (SELECT id, CASE WHEN id IN ({seed_list}) THEN {ts} "
+        f"ELSE 0.0 END AS t FROM nodes)",
+        "r0 AS (SELECT id, t AS rank FROM tele)",
+    ]
+    for k in range(num_iterations):
+        parts += [
+            f"s{k} AS (SELECT (1 - {d}) + {d} * COALESCE(sum(rank), 0) AS rs "
+            f"FROM r{k} WHERE id NOT IN (SELECT id FROM deg))",
+            f"c{k} AS (SELECT w.dst AS id, sum(w.w * r.rank / d.outdeg) AS "
+            f"contrib FROM w JOIN r{k} r ON w.src = r.id "
+            f"JOIN deg d ON w.src = d.id GROUP BY w.dst)",
+            f"r{k + 1} AS (SELECT tele.id, (SELECT rs FROM s{k}) * tele.t + "
+            f"{d} * COALESCE(c{k}.contrib, 0) AS rank "
+            f"FROM tele LEFT JOIN c{k} ON tele.id = c{k}.id)",
+        ]
+    return ",\n".join(parts) + (
+        f"\nSELECT id, round(rank, 9) AS rank FROM r{num_iterations}"
+    )
+
+
+def _kmeans_cents_ctes(num_centroids: int, iters: int) -> tuple[list[str], str]:
+    """CTE chain replaying similarity.ivf_centroids' deterministic Lloyd
+    k-means (seed = smallest ids present; assignment by rounded cosine,
+    ties → smaller cent_id; update = per-dim mean rounded 6 dp). Returns
+    (ctes, name_of_final_centroid_cte)."""
+    ctes = [
+        f"seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id "
+        f"LIMIT {num_centroids})",
+        "c0 AS (SELECT vec_id AS cent_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec "
+        "FROM embeddings WHERE vec_id IN (SELECT vec_id FROM seeds))",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"ap{i} AS (SELECT e.vec_id AS nid, c.cent_id, "
+            f"CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(c.cvec) AS y "
+            f"FROM embeddings e, c{i} c)",
+            f"asg{i} AS (SELECT nid, cent_id, round(sum(x*y) / "
+            f"(sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cs FROM ap{i} "
+            f"GROUP BY nid, cent_id)",
+            f"cell{i} AS (SELECT nid, cent_id AS cell FROM (SELECT nid, "
+            f"cent_id, row_number() OVER (PARTITION BY nid ORDER BY cs DESC, "
+            f"cent_id ASC) AS rn FROM asg{i}) WHERE rn = 1)",
+            f"dim{i} AS (SELECT ce.cell, generate_subscripts(e.embedding, 1) "
+            f"AS dim, CAST(unnest(e.embedding) AS DOUBLE) AS val "
+            f"FROM embeddings e JOIN cell{i} ce ON ce.nid = e.vec_id)",
+            f"c{i + 1} AS (SELECT cell AS cent_id, list(m ORDER BY dim) AS "
+            f"cvec FROM (SELECT cell, dim, round(avg(val), 6) AS m "
+            f"FROM dim{i} GROUP BY cell, dim) GROUP BY cell)",
+        ]
+    return ctes, f"c{iters}"
+
+
+def _pq_ctes(
+    m: int,
+    ksub: int,
+    iters: int,
+    dim: int,
+    src: str = "embeddings",
+    idc: str = "vec_id",
+    vcol: str = "embedding",
+    pfx: str = "",
+) -> list[str]:
+    """CTE chain replaying similarity.pq_codebooks + pq_encode: per-subspace
+    Lloyd k-means (seeds = smallest ids, assignment by rounded squared-L2
+    asc, ties -> smaller cent_id, per-dim means rounded 6 dp) ending in
+    ``{pfx}codes`` (sub, neighbor_id, code) and the final book
+    ``{pfx}b{iters}``. ``src/idc/vcol`` retarget the chain at any relation
+    with an (id, vector-list) shape; ``pfx`` namespaces the CTEs so two
+    chains compose in one query (IVFADC = a coarse m=1 chain + a residual
+    chain)."""
+    dsub = dim // m
+    vals = ", ".join(f"({s})" for s in range(m))
+    ctes = [
+        f"{pfx}subs AS MATERIALIZED (SELECT {idc} AS pid, s.sub, "
+        f"{vcol}[s.sub*{dsub}+1 : s.sub*{dsub}+{dsub}] AS pvec "
+        f"FROM {src}, (VALUES {vals}) s(sub))",
+        f"{pfx}pqseeds AS (SELECT {idc} FROM {src} ORDER BY {idc} "
+        f"LIMIT {ksub})",
+        f"{pfx}b0 AS MATERIALIZED (SELECT sub, pid AS cent_id, "
+        f"list_transform(pvec, x -> CAST(x AS DOUBLE)) AS cvec "
+        f"FROM {pfx}subs WHERE pid IN (SELECT {idc} FROM {pfx}pqseeds))",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"{pfx}ap{i} AS (SELECT p.sub, p.pid, c.cent_id, "
+            f"CAST(unnest(p.pvec) AS DOUBLE) AS x, unnest(c.cvec) AS y "
+            f"FROM {pfx}subs p JOIN {pfx}b{i} c ON c.sub = p.sub)",
+            f"{pfx}asg{i} AS (SELECT sub, pid, cent_id, "
+            f"round(sum((x-y)*(x-y)), 6) AS d FROM {pfx}ap{i} "
+            f"GROUP BY sub, pid, cent_id)",
+            f"{pfx}scell{i} AS MATERIALIZED (SELECT sub, pid, cent_id AS cell "
+            f"FROM (SELECT sub, pid, cent_id, row_number() OVER "
+            f"(PARTITION BY sub, pid ORDER BY d ASC, cent_id ASC) AS rn "
+            f"FROM {pfx}asg{i}) WHERE rn = 1)",
+            f"{pfx}sdim{i} AS (SELECT ce.sub, ce.cell, "
+            f"generate_subscripts(p.pvec, 1) AS dim, "
+            f"CAST(unnest(p.pvec) AS DOUBLE) AS val FROM {pfx}subs p "
+            f"JOIN {pfx}scell{i} ce ON ce.sub = p.sub AND ce.pid = p.pid)",
+            f"{pfx}b{i + 1} AS MATERIALIZED (SELECT sub, cell AS cent_id, "
+            f"list(mval ORDER BY dim) AS cvec FROM (SELECT sub, cell, dim, "
+            f"round(avg(val), 6) AS mval FROM {pfx}sdim{i} "
+            f"GROUP BY sub, cell, dim) GROUP BY sub, cell)",
+        ]
+    fin = f"{pfx}b{iters}"
+    ctes += [
+        f"{pfx}ep AS (SELECT p.sub, p.pid, c.cent_id, "
+        f"CAST(unnest(p.pvec) AS DOUBLE) AS x, unnest(c.cvec) AS y "
+        f"FROM {pfx}subs p JOIN {fin} c ON c.sub = p.sub)",
+        f"{pfx}es AS (SELECT sub, pid, cent_id, "
+        f"round(sum((x-y)*(x-y)), 6) AS d "
+        f"FROM {pfx}ep GROUP BY sub, pid, cent_id)",
+        f"{pfx}codes AS MATERIALIZED (SELECT sub, pid AS neighbor_id, "
+        f"cent_id AS code FROM (SELECT sub, pid, cent_id, row_number() OVER "
+        f"(PARTITION BY sub, pid ORDER BY d ASC, cent_id ASC) AS rn "
+        f"FROM {pfx}es) WHERE rn = 1)",
+    ]
+    return ctes
+
+
+def _ivf_assign_ctes(cents: str, nprobe: int) -> list[str]:
+    """vs (vector-vs-centroid rounded cosine) and vcell (each vector's
+    ``nprobe`` nearest cells) over the final centroid CTE."""
+    return [
+        f"vp AS (SELECT e.vec_id AS nid, c.cent_id, "
+        f"CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(c.cvec) AS y "
+        f"FROM embeddings e, {cents} c)",
+        "vs AS (SELECT nid, cent_id, round(sum(x*y) / (sqrt(sum(x*x)) * "
+        "sqrt(sum(y*y))), 6) AS cs FROM vp GROUP BY nid, cent_id)",
+        f"vcell AS (SELECT nid, cell, rn FROM (SELECT nid, cent_id AS cell, "
+        f"row_number() OVER (PARTITION BY nid ORDER BY cs DESC, cent_id ASC) "
+        f"AS rn FROM vs) WHERE rn <= {nprobe})",
+    ]
+
+
+_HEXD = "'0123456789abcdef'"
+
+
+def _simhash_hex_sql(docs_expr: str) -> str:
+    """Twin of dedup.simhash_hex: md5-nibble bit votes → 16-char hex
+    fingerprint. Bit i of a token = ((nibble i//4 of md5) >> (i%4)) & 1."""
+    votes = ", ".join(
+        f"sum(CASE WHEN ((strpos({_HEXD}, substr(md5(tok), {i // 4 + 1}, 1))"
+        f" - 1) >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    chars = " || ".join(
+        f"substr({_HEXD}, "
+        + " + ".join(
+            f"(CASE WHEN b{4 * j + k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(4)
+        )
+        + " + 1, 1)"
+        for j in range(16)
+    )
+    return (
+        f"WITH toks AS ({_toks_sql(docs_expr)}), "
+        f"votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id) "
+        f"SELECT doc_id, {chars} AS simhash FROM votes"
+    )
+
+
+def _simhash_pairs_sql(docs_expr: str, max_hamming: int) -> str:
+    """Twin of dedup.simhash_near_pairs_hex: 16-bit quadrant buckets,
+    nibble-wise hamming."""
+    def nib(side: str, j: int) -> str:
+        return f"(strpos({_HEXD}, substr({side}.simhash, {j + 1}, 1)) - 1)"
+
+    ham = " + ".join(
+        f"bit_count(xor({nib('a', j)}, {nib('b', j)}))" for j in range(16)
+    )
+    return (
+        f"WITH sh AS MATERIALIZED ({_simhash_hex_sql(docs_expr)}), "
+        "quads AS (SELECT doc_id, simhash, q.quad, "
+        "substr(simhash, q.quad * 4 + 1, 4) AS qval FROM sh, "
+        "(VALUES (0), (1), (2), (3)) q(quad)) "
+        f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM quads a JOIN quads b ON a.quad = b.quad AND a.qval = b.qval "
+        f"AND a.doc_id < b.doc_id WHERE ({ham}) <= {max_hamming}"
+    )
+
+
+def _knn_lsh_sql(num_bits: int, dim: int, k: int) -> str:
+    """Twin of similarity.knn_lsh(planes=md5_planes(...)): the same literal
+    hyperplanes, per-plane dot rounded to 6 dp before the sign, bucket
+    equi-join, cosine top-k ranked by (score desc, neighbor asc)."""
+    planes = sim.md5_planes(num_bits, dim)
+    plane_rows = " UNION ALL ".join(
+        f"SELECT {b} AS b, [{', '.join(repr(c) for c in row)}] AS pl"
+        for b, row in enumerate(planes)
+    )
+    return (
+        f"WITH planes AS ({plane_rows}), "
+        "pcomp AS (SELECT e.vec_id, p.b, CAST(unnest(e.embedding) AS DOUBLE)"
+        " AS x, unnest(p.pl) AS y FROM embeddings e, planes p), "
+        "dots AS (SELECT vec_id, b, round(sum(x*y), 6) AS d FROM pcomp "
+        "GROUP BY vec_id, b), "
+        "buckets AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << b) "
+        "ELSE 0 END) AS BIGINT) AS bucket FROM dots GROUP BY vec_id), "
+        "q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, bk.bucket AS "
+        "qb FROM embeddings e JOIN buckets bk ON bk.vec_id = e.vec_id "
+        "WHERE e.vec_id < 3), "
+        "pr AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, "
+        "c.embedding AS cv FROM q JOIN buckets cb ON cb.bucket = q.qb "
+        "JOIN embeddings c ON c.vec_id = cb.vec_id "
+        "WHERE c.vec_id <> q.query_id), "
+        "comps AS (SELECT query_id, neighbor_id, CAST(unnest(qv) AS DOUBLE) "
+        "AS x, CAST(unnest(cv) AS DOUBLE) AS y FROM pr), "
+        "scored AS (SELECT query_id, neighbor_id, round(sum(x*y) / "
+        "(sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS score FROM comps "
+        "GROUP BY query_id, neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "
+        "knn_rank FROM scored) "
+        f"SELECT query_id, neighbor_id, knn_rank FROM ranked "
+        f"WHERE knn_rank <= {k}"
+    )
+
+
+def _label_prop_sql(rounds: int) -> str:
+    """Unrolled synchronous label propagation — the exact SQL twin of
+    operators.labelprop.label_propagation (dedup'd undirected neighbors,
+    mode label per round, count-ties → smallest label, isolated nodes keep
+    theirs). The Spark loop's early exit is a no-op difference: once a
+    round changes nothing every later round is identity."""
+    parts = [
+        f"WITH e AS ({_BLOCK})",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
+        "UNION ALL SELECT dst AS id FROM e))",
+        "sym AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e "
+        "WHERE src <> dst UNION ALL SELECT dst AS src, src AS dst FROM e "
+        "WHERE src <> dst))",
+        "l0 AS (SELECT id, id AS label FROM nodes)",
+    ]
+    for k in range(rounds):
+        parts += [
+            f"v{k} AS (SELECT s.src AS nid, l.label, count(*) AS n "
+            f"FROM sym s JOIN l{k} l ON s.dst = l.id GROUP BY s.src, l.label)",
+            f"w{k} AS (SELECT nid, label AS new_label FROM (SELECT nid, "
+            f"label, row_number() OVER (PARTITION BY nid ORDER BY n DESC, "
+            f"label ASC) AS rn FROM v{k}) WHERE rn = 1)",
+            f"l{k + 1} AS (SELECT l.id, coalesce(w.new_label, l.label) AS "
+            f"label FROM l{k} l LEFT JOIN w{k} w ON w.nid = l.id)",
+        ]
+    return ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def _scc_ctes(edges_sql: str) -> str:
+    """Shared CTE prefix for the SCC / bow-tie twins — now owned by
+    operators/scc.py (scc_ctes_sql) so condensation_depth_sql shares it."""
+    from ps_projekt_pagerank_spark.operators.scc import scc_ctes_sql
+
+    return scc_ctes_sql(edges_sql)
+
+
+def _scc_sql(edges_sql: str) -> str:
+    return f"{_scc_ctes(edges_sql)} SELECT id, component FROM scc"
+
+
+def _bowtie_sql(edges_sql: str) -> str:
+    """Twin of scc.bow_tie: core = largest SCC (ties to the smaller
+    component id), IN/OUT via the directed closure, TENDRIL via an
+    undirected BFS closure from the core."""
+    return (
+        f"{_scc_ctes(edges_sql)}, "
+        "core AS (SELECT id FROM scc WHERE component = "
+        "(SELECT component FROM scc GROUP BY component "
+        "ORDER BY count(*) DESC, component ASC LIMIT 1)), "
+        "fwd AS (SELECT DISTINCT r.d AS id FROM reach r "
+        "WHERE r.s IN (SELECT id FROM core)), "
+        "bwd AS (SELECT DISTINCT r.s AS id FROM reach r "
+        "WHERE r.d IN (SELECT id FROM core)), "
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
+        "wreach(id) AS (SELECT id FROM core "
+        "UNION SELECT u.dst FROM wreach w JOIN und u ON u.src = w.id) "
+        "SELECT n.id, CASE "
+        "WHEN n.id IN (SELECT id FROM core) THEN 'CORE' "
+        "WHEN n.id IN (SELECT id FROM bwd) THEN 'IN' "
+        "WHEN n.id IN (SELECT id FROM fwd) THEN 'OUT' "
+        "WHEN n.id IN (SELECT id FROM wreach) THEN 'TENDRIL' "
+        "ELSE 'DISCONNECTED' END AS part FROM nodes n"
+    )
+
+

@@ -267,3 +267,125 @@ def test_ppm_decode_rejects_truncated(spark):
     )
     with _pytest.raises(Exception, match="truncated pixel plane"):
         mm.decode_image(bad, codec="ppm").collect()
+
+
+# ----------------------------------------------------------- PNG codec
+def _py_png_plane(doc_id: int, text: str):
+    """independent oracle of fake_media_png's pixel plane: (w, h, raw)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    w = doc_id % 13 + 5
+    h = doc_id % 9 + 4
+    n = w * h * 3
+    digest = hashlib.md5(text.encode()).hexdigest()
+    hx = (digest * math.ceil(2 * n / 32))[: 2 * n]
+    return w, h, np.frombuffer(bytes.fromhex(hx), dtype=np.uint8).reshape(
+        h, w * 3
+    )
+
+
+def test_png_decode_real_compressed_pixels(spark):
+    """fake_media_png emits REAL deflate-compressed, CRC'd, filtered
+    PNGs; decode_image(png) must inflate + unfilter back to the exact
+    md5 plane."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"png document {i} body") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    media = mm.fake_media_png(docs)
+    got = {r["media_id"]: r for r in
+           mm.decode_image(media, codec="png").collect()}
+    assert len(got) == 20
+    for i in range(20):
+        w, h, raw = _py_png_plane(i, f"png document {i} body")
+        r = got[i]
+        psum = int(raw.sum(dtype=np.int64))
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["n_pixels"] == w * h
+        assert r["pixel_sum"] == psum
+        assert r["mean_pixel"] == round(psum / (w * h * 3), 6)
+
+
+def test_png_blob_is_genuinely_compressed_and_valid(spark):
+    """The blob must carry the PNG signature, CRC-valid chunks, and a
+    deflate stream (not raw pixels); local _png_decode returns the
+    exact plane."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(7, "seven"), (11, "eleven elves")], "doc_id LONG, text STRING"
+    )
+    rows = {r["media_id"]: bytes(r["media"])
+            for r in mm.fake_media_png(docs).collect()}
+    for did, text in [(7, "seven"), (11, "eleven elves")]:
+        blob = rows[did]
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, raw = mm._png_decode(blob)
+        ew, eh, eraw = _py_png_plane(did, text)
+        assert (w, h) == (ew, eh)
+        assert np.array_equal(raw, eraw)
+
+
+def test_png_decode_average_and_paeth_filters():
+    """The two filter types the generator never emits (3 Average,
+    4 Paeth) must still decode: filter a known image with an
+    independent encoder implementation and check exact recovery."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    w, h = 6, 4
+    raw = rng.integers(0, 256, size=(h, w * 3), dtype=np.uint8)
+    lines = []
+    prior = np.zeros(w * 3, dtype=np.int32)
+    for r in range(h):
+        row = raw[r].astype(np.int32)
+        ftype = 3 if r % 2 == 0 else 4
+        filt = np.zeros(w * 3, dtype=np.int32)
+        for i in range(w * 3):
+            a = int(row[i - 3]) if i >= 3 else 0
+            b = int(prior[i])
+            if ftype == 3:
+                pred = (a + b) // 2
+            else:
+                c = int(prior[i - 3]) if i >= 3 else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[i] = (row[i] - pred) % 256
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_pack(b"IHDR", ihdr)
+        + mm._png_pack(b"IDAT", zlib.compress(b"".join(lines)))
+        + mm._png_pack(b"IEND", b"")
+    )
+    dw, dh, got = mm._png_decode(blob)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(got, raw)
+
+
+def test_png_decode_rejects_bad_signature_and_crc():
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad PNG signature"):
+        mm._png_decode(b"NOTAPNG.........")
+    raw = np.zeros((2, 9), dtype=np.uint8)
+    blob = bytearray(mm._png_encode(raw, 3, 2))
+    # corrupt one IDAT payload byte without fixing the CRC
+    idx = blob.index(b"IDAT") + 4
+    blob[idx + 2] ^= 0xFF
+    with _pytest.raises(ValueError, match="bad CRC"):
+        mm._png_decode(bytes(blob))
