@@ -1802,7 +1802,6 @@ from ps_projekt_pagerank_spark.functions.readability import (
 )
 from ps_projekt_pagerank_spark.functions.robots import (
     crawl_allowed_sql,
-    crawl_allowed_sql as _ca_sql,
     robots_rules_sql,
 )
 from ps_projekt_pagerank_spark.functions.search import (
@@ -2820,7 +2819,7 @@ def oracle_sql() -> dict[str, str]:
         "WITH f0 AS (SELECT dst_url AS url, count(*) AS inlinks "
         f"FROM ({D.URL_EDGES_SQL}) GROUP BY dst_url), "
         "f AS (SELECT f0.url, f0.inlinks FROM f0 JOIN ("
-        + _ca_sql("SELECT url FROM f0", _POLITE_ROBOTS, "*")
+        + crawl_allowed_sql("SELECT url FROM f0", _POLITE_ROBOTS, "*")
         + ") v ON v.url = f0.url AND v.allowed), "
         "h AS (SELECT url, NULLIF(regexp_extract(url, "
         "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '') AS host, inlinks "

@@ -473,8 +473,10 @@ def _cell_cosine_pairs(
     )
     cv = cells.join(vn, "pid")
     # K·nprobe rows — the only broadcast left in this plan, and it is
-    # size-bounded by the centroid count, not the corpus.
-    sizes = cv.groupBy("cell").agg(
+    # size-bounded by the centroid count, not the corpus. Counted over
+    # `cells` alone (one vn row per pid makes cv counts identical) so
+    # deriving nsub never replays the corpus-wide vector join.
+    sizes = cells.groupBy("cell").agg(
         F.greatest(F.lit(1), F.ceil(F.count("*") / max_cell_rows))
         .cast("int")
         .alias("nsub")

@@ -15,7 +15,6 @@ two result sets (tools/check_entry.py replays the driver's comparison).
 from __future__ import annotations
 
 from .. import DAMPING, NORTH_EPSILON  # noqa: F401
-from ..functions import text as tx  # noqa: F401
 from ..operators import similarity as sim  # noqa: F401
 from ..sources import derived as D
 
@@ -44,29 +43,36 @@ def _minhash_sigs_sql(docs_expr: str) -> str:
     return f"SELECT doc_id, {aggs} FROM ({_toks_sql(docs_expr)}) GROUP BY doc_id"
 
 
-def _anf_sql(
-    edges_sql: str, rounds: int, num_sketches: int = 4, nibbles: int = 10
-) -> str:
-    """Twin of anf.anf_neighborhood (integer readout only): per-node FM
-    sketches seeded from md5 trailing zeros, unrolled OR-propagation rounds,
-    Σ lowest-zero-bit positions per h. Bit-for-bit = the Spark trajectory."""
+def _fm_seed_expr(r: int, nibbles: int) -> str:
+    """One FM-sketch seed column: 1 << (trailing zeros of an md5-derived
+    value), the all-zero draw mapped past the top bit."""
+    x = (
+        f"CAST('0x' || substr(md5(id::VARCHAR || '#{r}'), 1, {nibbles}) "
+        f"AS BIGINT)"
+    )
+    return (
+        f"(CAST(1 AS BIGINT) << (CASE WHEN {x} = 0 THEN {nibbles * 4} "
+        f"ELSE bit_count(({x} & (0 - {x})) - 1) END)) AS s{r}"
+    )
+
+
+def _fm_sketch_ctes(
+    edge_cte: str, rounds: int, num_sketches: int, nibbles: int
+) -> list[str]:
+    """The SHARED sketch-propagation chain of _anf_sql and _harmonic_sql:
+    nodes, seeded st0, then per round the bit_or gather (gt{h}) and the
+    merged state (st{h}). ``edge_cte`` supplies the ``e AS (...)`` CTE —
+    forward edges for ANF, reversed for harmonic — and is the ONLY
+    difference between the two twins' chains; a seeding fix here fixes
+    both."""
     rng = range(num_sketches)
-
-    def seed(r: int) -> str:
-        x = (
-            f"CAST('0x' || substr(md5(id::VARCHAR || '#{r}'), 1, {nibbles}) "
-            f"AS BIGINT)"
-        )
-        return (
-            f"(CAST(1 AS BIGINT) << (CASE WHEN {x} = 0 THEN {nibbles * 4} "
-            f"ELSE bit_count(({x} & (0 - {x})) - 1) END)) AS s{r}"
-        )
-
     parts = [
-        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        edge_cte,
         "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
         "UNION ALL SELECT dst AS id FROM e))",
-        "st0 AS (SELECT id, " + ", ".join(seed(r) for r in rng) + " FROM nodes)",
+        "st0 AS (SELECT id, "
+        + ", ".join(_fm_seed_expr(r, nibbles) for r in rng)
+        + " FROM nodes)",
     ]
     for h in range(1, rounds + 1):
         gs = ", ".join(f"bit_or(st.s{r}) AS g{r}" for r in rng)
@@ -81,6 +87,21 @@ def _anf_sql(
             f"st{h} AS (SELECT st.id, {cs} FROM st{h - 1} st "
             f"LEFT JOIN gt{h} g ON st.id = g.nid)"
         )
+    return parts
+
+
+def _anf_sql(
+    edges_sql: str, rounds: int, num_sketches: int = 4, nibbles: int = 10
+) -> str:
+    """Twin of anf.anf_neighborhood (integer readout only): per-node FM
+    sketches seeded from md5 trailing zeros, unrolled OR-propagation rounds,
+    Σ lowest-zero-bit positions per h. Bit-for-bit = the Spark trajectory."""
+    rng = range(num_sketches)
+    parts = _fm_sketch_ctes(
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        rounds, num_sketches, nibbles,
+    )
 
     def measure(h: int) -> str:
         pos = " + ".join(
@@ -115,37 +136,11 @@ def _harmonic_sql(
     tbl = "CAST([" + ", ".join(
         repr(v) for v in harmonic_est_table(num_sketches, nibbles)
     ) + "] AS DOUBLE[])"
-
-    def seed(r: int) -> str:
-        x = (
-            f"CAST('0x' || substr(md5(id::VARCHAR || '#{r}'), 1, {nibbles}) "
-            f"AS BIGINT)"
-        )
-        return (
-            f"(CAST(1 AS BIGINT) << (CASE WHEN {x} = 0 THEN {nibbles * 4} "
-            f"ELSE bit_count(({x} & (0 - {x})) - 1) END)) AS s{r}"
-        )
-
-    parts = [
+    parts = _fm_sketch_ctes(
         f"e AS (SELECT DISTINCT dst AS src, src AS dst FROM ({edges_sql}) "
         "WHERE src <> dst)",
-        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e "
-        "UNION ALL SELECT dst AS id FROM e))",
-        "st0 AS (SELECT id, " + ", ".join(seed(r) for r in rng) + " FROM nodes)",
-    ]
-    for h in range(1, rounds + 1):
-        gs = ", ".join(f"bit_or(st.s{r}) AS g{r}" for r in rng)
-        parts.append(
-            f"gt{h} AS (SELECT e.src AS nid, {gs} FROM e "
-            f"JOIN st{h - 1} st ON e.dst = st.id GROUP BY e.src)"
-        )
-        cs = ", ".join(
-            f"coalesce(st.s{r} | g.g{r}, st.s{r}) AS s{r}" for r in rng
-        )
-        parts.append(
-            f"st{h} AS (SELECT st.id, {cs} FROM st{h - 1} st "
-            f"LEFT JOIN gt{h} g ON st.id = g.nid)"
-        )
+        rounds, num_sketches, nibbles,
+    )
     pos = " + ".join(f"bit_count(((~s{r}) & (s{r} + 1)) - 1)" for r in rng)
     for h in range(rounds + 1):
         parts.append(
